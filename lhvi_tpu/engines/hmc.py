@@ -1,0 +1,282 @@
+"""HMC-within-Gibbs sampler for hybrid MRFs.
+
+New capability mandated by BASELINE.json's north-star (the reference has no
+sampler of this family): continuous latents move by Hamiltonian Monte Carlo
+(leapfrog + Metropolis correction, dual-averaging step-size adaptation,
+diagonal mass-matrix adaptation); discrete latents move by chromatic
+parallel Gibbs using the compiler's precomputed conflict coloring
+(``CompiledFG.color_masks``) — all colors' conditionals are evaluated as one
+batched pass per color, so a sweep costs ``n_colors`` fused bucket
+evaluations regardless of variable count.
+
+Everything is one ``lax.scan`` under ``jit``; chains are a leading axis
+(vmapped), ready to be sharded over a mesh ``chains`` axis by
+``lhvi_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lhvi_tpu.fg.compile import CompiledFG
+
+Array = jax.Array
+
+
+@struct.dataclass
+class HMCConfig:
+    n_leapfrog: int = struct.field(pytree_node=False, default=8)
+    init_step_size: float = struct.field(pytree_node=False, default=0.1)
+    target_accept: float = struct.field(pytree_node=False, default=0.8)
+    gibbs_sweeps: int = struct.field(pytree_node=False, default=1)
+    adapt_mass: bool = struct.field(pytree_node=False, default=True)
+    jitter: float = struct.field(pytree_node=False, default=1.0)
+
+
+class HMCState(NamedTuple):
+    xc: Array  # [C, n_cont]
+    xd: Array  # [C, n_disc]
+    log_eps: Array  # dual-averaging state (scalars)
+    log_eps_bar: Array
+    h_bar: Array
+    t: Array
+    welford_mean: Array  # [n_cont]
+    welford_m2: Array
+    welford_n: Array
+    inv_mass: Array  # [n_cont] diagonal
+
+
+def _leapfrog(logp, xc, p, eps, inv_mass, n_steps):
+    """Standard leapfrog integrator; logp is log π(xc) for fixed xd."""
+    grad = jax.grad(logp)
+
+    def body(_, carry):
+        x, m = carry
+        m = m + 0.5 * eps * grad(x)
+        x = x + eps * inv_mass * m
+        m = m + 0.5 * eps * grad(x)
+        return (x, m)
+
+    return jax.lax.fori_loop(0, n_steps, body, (xc, p))
+
+
+def gibbs_sweep(fg: CompiledFG, key: Array, xc: Array, xd: Array) -> Array:
+    """One chromatic-Gibbs sweep over all discrete latents of one chain."""
+    if fg.n_disc == 0:
+        return xd
+
+    def color_step(xd, inp):
+        k, mask = inp
+        logits = fg.disc_logits(xc, xd)  # [n_disc, V]
+        new = jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
+        xd = jnp.where(mask > 0, new, xd)
+        return xd, None
+
+    keys = jax.random.split(key, fg.n_colors)
+    xd, _ = jax.lax.scan(color_step, xd, (keys, fg.color_masks))
+    return xd
+
+
+def _hmc_chain_step(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps, inv_mass):
+    """One HMC proposal for a single chain (vmapped over chains)."""
+    k_mom, k_acc = jax.random.split(key)
+    logp = lambda x: fg.log_prob(x, xd)
+    std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
+    p0 = std * jax.random.normal(k_mom, xc.shape)
+    x1, p1 = _leapfrog(logp, xc, p0, eps, inv_mass, cfg.n_leapfrog)
+    ke = lambda p: 0.5 * jnp.sum(inv_mass * p * p)
+    h0 = -logp(xc) + ke(p0)
+    h1 = -logp(x1) + ke(p1)
+    log_acc = jnp.minimum(0.0, h0 - h1)
+    log_acc = jnp.where(jnp.isfinite(log_acc), log_acc, -jnp.inf)
+    accept = jnp.log(jax.random.uniform(k_acc, ())) < log_acc
+    xc = jnp.where(accept, x1, xc)
+    return xc, jnp.exp(log_acc)
+
+
+def _da_update(state: HMCState, accept_mean, cfg: HMCConfig):
+    """Nesterov dual averaging on log step size (Hoffman–Gelman 2014)."""
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    mu = jnp.log(10.0 * cfg.init_step_size)
+    t = state.t + 1.0
+    h_bar = (1.0 - 1.0 / (t + t0)) * state.h_bar + (
+        cfg.target_accept - accept_mean
+    ) / (t + t0)
+    log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+    w = t ** (-kappa)
+    log_eps_bar = w * log_eps + (1.0 - w) * state.log_eps_bar
+    return state._replace(
+        log_eps=log_eps, log_eps_bar=log_eps_bar, h_bar=h_bar, t=t
+    )
+
+
+def _welford_update(state: HMCState, xc):
+    """Chan et al. batched Welford: fold all C chain states in at once (the
+    estimand is the cross-chain posterior variance, not the chain-mean's)."""
+    C = xc.shape[0]
+    n_new = state.welford_n + C
+    batch_mean = jnp.mean(xc, axis=0)
+    batch_m2 = jnp.sum((xc - batch_mean) ** 2, axis=0)
+    delta = batch_mean - state.welford_mean
+    mean = state.welford_mean + delta * (C / n_new)
+    m2 = state.welford_m2 + batch_m2 + delta**2 * (state.welford_n * C / n_new)
+    return state._replace(welford_mean=mean, welford_m2=m2, welford_n=n_new)
+
+
+@partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples", "thin"))
+def run_hmc(
+    fg: CompiledFG,
+    key: Array,
+    cfg: HMCConfig = HMCConfig(),
+    n_chains: int = 8,
+    n_warmup: int = 500,
+    n_samples: int = 1000,
+    thin: int = 1,
+):
+    """Run the sampler; returns (samples_xc [S,C,n_cont], samples_xd [S,C,n_disc],
+    diagnostics dict)."""
+    k_init, k_warm, k_samp = jax.random.split(key, 3)
+    xc, xd = jax.vmap(fg.init_state)(
+        jax.random.split(k_init, n_chains), jnp.full(n_chains, cfg.jitter)
+    )
+
+    state = HMCState(
+        xc=xc,
+        xd=xd,
+        log_eps=jnp.log(jnp.asarray(cfg.init_step_size)),
+        log_eps_bar=jnp.log(jnp.asarray(cfg.init_step_size)),
+        h_bar=jnp.zeros(()),
+        t=jnp.zeros(()),
+        welford_mean=jnp.zeros(fg.n_cont),
+        welford_m2=jnp.zeros(fg.n_cont),
+        welford_n=jnp.zeros(()),
+        inv_mass=jnp.ones(fg.n_cont),
+    )
+
+    def sweep_all(key, xc, xd):
+        for _ in range(cfg.gibbs_sweeps):
+            keys = jax.random.split(key, xc.shape[0] + 1)
+            key = keys[0]
+            xd = jax.vmap(lambda k, a, b: gibbs_sweep(fg, k, a, b))(
+                keys[1:], xc, xd
+            )
+        return xd
+
+    def warmup_step(state: HMCState, key):
+        k_g, k_h = jax.random.split(key)
+        xd = sweep_all(k_g, state.xc, state.xd)
+        eps = jnp.exp(state.log_eps)
+        keys = jax.random.split(k_h, state.xc.shape[0])
+        xc, acc = jax.vmap(
+            lambda k, a, b: _hmc_chain_step(fg, cfg, k, a, b, eps, state.inv_mass)
+        )(keys, state.xc, xd)
+        state = state._replace(xc=xc, xd=xd)
+        state = _da_update(state, jnp.mean(acc), cfg)
+        state = _welford_update(state, xc)
+        return state, jnp.mean(acc)
+
+    def mass_refresh(state: HMCState):
+        if not cfg.adapt_mass or fg.n_cont == 0:
+            return state
+        var = state.welford_m2 / jnp.maximum(state.welford_n - 1.0, 1.0)
+        # pooled per-dim posterior variance estimate -> inverse mass
+        inv_mass = jnp.where(state.welford_n > 10.0, jnp.maximum(var, 1e-6), 1.0)
+        return state._replace(inv_mass=inv_mass)
+
+    if n_warmup > 0:
+        half = max(n_warmup // 2, 1)
+        state, acc1 = jax.lax.scan(
+            warmup_step, state, jax.random.split(k_warm, half)
+        )
+        state = mass_refresh(state)
+        # second warmup phase re-tunes eps under the adapted mass
+        state = state._replace(
+            h_bar=jnp.zeros(()), t=jnp.zeros(()),
+            welford_mean=jnp.zeros(fg.n_cont),
+            welford_m2=jnp.zeros(fg.n_cont), welford_n=jnp.zeros(()),
+        )
+        state, acc2 = jax.lax.scan(
+            warmup_step, state, jax.random.split(jax.random.fold_in(k_warm, 1),
+                                                 n_warmup - half)
+        )
+        state = mass_refresh(state)
+        state = state._replace(log_eps=state.log_eps_bar)
+
+    def sample_step(state: HMCState, key):
+        k_g, k_h = jax.random.split(key)
+        xd = sweep_all(k_g, state.xc, state.xd)
+        eps = jnp.exp(state.log_eps)
+        keys = jax.random.split(k_h, state.xc.shape[0])
+        xc, acc = jax.vmap(
+            lambda k, a, b: _hmc_chain_step(fg, cfg, k, a, b, eps, state.inv_mass)
+        )(keys, state.xc, xd)
+        state = state._replace(xc=xc, xd=xd)
+        return state, (xc, xd, jnp.mean(acc))
+
+    state, (s_xc, s_xd, accs) = jax.lax.scan(
+        sample_step, state, jax.random.split(k_samp, n_samples * thin)
+    )
+    s_xc = s_xc[:: thin] if thin > 1 else s_xc
+    s_xd = s_xd[:: thin] if thin > 1 else s_xd
+    diag = {
+        "accept_rate": jnp.mean(accs),
+        "step_size": jnp.exp(state.log_eps),
+        "inv_mass": state.inv_mass,
+    }
+    return s_xc, s_xd, diag
+
+
+class HMCResult:
+    """Query wrapper mapping RVs to marginal statistics (reference
+    ``belief/map`` query parity, SURVEY.md §2 L3)."""
+
+    def __init__(self, fg: CompiledFG, s_xc, s_xd, diag):
+        import numpy as np
+
+        self.fg = fg
+        s_xc, s_xd = np.asarray(s_xc), np.asarray(s_xd)
+        n_draws = s_xc.shape[0] * s_xc.shape[1]
+        self.xc = s_xc.reshape(n_draws, fg.n_cont)  # [S*C, n]
+        self.xd = s_xd.reshape(n_draws, fg.n_disc)
+        self.diag = {k: np.asarray(v) for k, v in diag.items()}
+
+    def _loc(self, rv, want):
+        kind, i = self.fg.meta.loc(rv)
+        if kind == "obs":
+            raise ValueError(f"{rv} is observed (evidence); it has no posterior")
+        if kind != want:
+            raise ValueError(f"{rv} is {'continuous' if kind=='c' else 'discrete'}")
+        return i
+
+    def mean(self, rv) -> float:
+        return float(self.xc[:, self._loc(rv, "c")].mean())
+
+    def var(self, rv) -> float:
+        return float(self.xc[:, self._loc(rv, "c")].var())
+
+    def disc_marginal(self, rv):
+        import numpy as np
+
+        i = self._loc(rv, "d")
+        size = rv.domain.size
+        counts = np.bincount(self.xd[:, i], minlength=size)[:size]
+        return counts / counts.sum()
+
+    def map(self, rv):
+        kind, _ = self.fg.meta.loc(rv)
+        if kind == "c":
+            return float(self.xc[:, self._loc(rv, "c")].mean())
+        probs = self.disc_marginal(rv)
+        return rv.domain.values[int(probs.argmax())]
+
+
+def sample(fg: CompiledFG, key, **kw) -> HMCResult:
+    """Convenience wrapper: run and wrap results for RV-level queries."""
+    cfg = kw.pop("cfg", HMCConfig())
+    s_xc, s_xd, diag = run_hmc(fg, key, cfg, **kw)
+    return HMCResult(fg, s_xc, s_xd, diag)

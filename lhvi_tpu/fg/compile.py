@@ -1,0 +1,433 @@
+"""Graph-to-XLA factor compiler: the keystone of the TPU-native design.
+
+The reference walks Python object graphs inside every engine loop
+(SURVEY.md §4). Here the graph is compiled ONCE (host side) into a
+statically-shaped, bucketed array IR — ``CompiledFG`` — and every engine
+consumes only that IR under ``jit``:
+
+- factors are grouped into **buckets** by (potential bucket key, continuity
+  pattern); one batched kernel evaluates a whole bucket;
+- evidence is baked in as per-slot constants + masks (no shape change when
+  evidence changes pattern within a bucket);
+- bucket sizes are padded to a multiple of ``pad_to`` with zero-weight rows
+  so shapes are stable across models of similar size;
+- per-factor ``scale`` carries lifted orbit counts (1.0 when grounded,
+  0.0 for padding);
+- a chromatic schedule (greedy conflict coloring of discrete latents) is
+  precomputed for parallel-Gibbs discrete updates.
+
+This realizes the "graph-to-XLA factor compiler" subsystem of
+BASELINE.json's north-star.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lhvi_tpu.fg.graph import Domain, F, Graph, RV
+
+Array = jax.Array
+
+_NEG_BIG = -1e30
+
+
+class FGMeta:
+    """Host-side metadata: RV ↔ flat-index maps (hash by identity so it can
+    ride in a static pytree field)."""
+
+    def __init__(self):
+        self.cont_rvs: List[RV] = []
+        self.disc_rvs: List[RV] = []
+        self.index: Dict[int, Tuple[str, int]] = {}  # id(rv) -> (kind, idx)
+        self.graph: Graph = None
+        self.cont_counts: np.ndarray = None  # lifted orbit sizes (None=grounded)
+        self.disc_counts: np.ndarray = None
+        self.orbit_of: Dict[int, int] = None  # id(ground rv) -> orbit var idx
+
+    def loc(self, rv: RV) -> Tuple[str, int]:
+        """('c'|'d'|'obs', flat index) of an RV in the compiled state."""
+        return self.index[id(rv)]
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@struct.dataclass
+class FactorBucket:
+    """One potential-type bucket: ``n_f`` same-kernel factors, batched."""
+
+    kind: str = struct.field(pytree_node=False)
+    pattern: Tuple[bool, ...] = struct.field(pytree_node=False)
+    kernel: Callable = struct.field(pytree_node=False)
+    params: Dict[str, Array]  # leaves [n_f, ...]
+    cont_idx: Array  # i32 [n_f, ac] into x_c (0 where not latent)
+    cont_mask: Array  # f32 [n_f, ac] 1=latent
+    cont_const: Array  # f32 [n_f, ac] evidence values
+    disc_idx: Array  # i32 [n_f, ad] into x_d
+    disc_mask: Array  # f32 [n_f, ad]
+    disc_const: Array  # i32 [n_f, ad] evidence value-indices
+    disc_vals: Array  # f32 [n_f, ad, Vmax] slot index->value tables
+    disc_size: Array  # i32 [n_f, ad] slot domain sizes
+    scale: Array  # f32 [n_f] orbit count (0 = padding)
+
+    @property
+    def n_factors(self) -> int:
+        return self.scale.shape[0]
+
+    @property
+    def ac(self) -> int:
+        return self.cont_idx.shape[1]
+
+    @property
+    def ad(self) -> int:
+        return self.disc_idx.shape[1]
+
+    def gather_args(self, xc: Array, xd: Array, extra_batch: int = 0):
+        """Assemble kernel args from flat state vectors.
+
+        Returns (params, xcs [n_f, ac], xdi [n_f, ad], xdv [n_f, ad]) with
+        ``extra_batch`` singleton axes inserted into params after axis 0 (for
+        broadcasting against grid/candidate axes added by callers).
+        """
+        xcs = jnp.where(
+            self.cont_mask > 0,
+            xc[self.cont_idx] if xc.shape[0] else jnp.zeros_like(self.cont_const),
+            self.cont_const,
+        )
+        xdi = jnp.where(
+            self.disc_mask > 0,
+            xd[self.disc_idx] if xd.shape[0] else jnp.zeros_like(self.disc_const),
+            self.disc_const,
+        )
+        xdv = self.slot_values(xdi)
+        params = self.params
+        if extra_batch:
+            params = expand_params(params, extra_batch)
+        return params, xcs, xdi, xdv
+
+    def slot_values(self, xdi: Array) -> Array:
+        """Map slot value-indices ``[n_f, *extra, ad]`` → domain values."""
+        if self.ad == 0:
+            return xdi.astype(jnp.float32)
+        n_extra = xdi.ndim - 2  # axes between the factor axis and the slot axis
+        vals = self.disc_vals.reshape(
+            (self.disc_vals.shape[0],) + (1,) * n_extra + self.disc_vals.shape[1:]
+        )
+        vals = jnp.broadcast_to(vals, xdi.shape + vals.shape[-1:])
+        return jnp.take_along_axis(vals, xdi[..., None], axis=-1)[..., 0]
+
+
+def expand_params(params: Dict[str, Array], n_axes: int) -> Dict[str, Array]:
+    """Insert ``n_axes`` singleton axes after axis 0 of every leaf."""
+
+    def ex(leaf):
+        return leaf.reshape(leaf.shape[:1] + (1,) * n_axes + leaf.shape[1:])
+
+    return jax.tree_util.tree_map(ex, params)
+
+
+@struct.dataclass
+class CompiledFG:
+    """Compiled factor graph: the array IR all engines consume."""
+
+    buckets: Tuple[FactorBucket, ...]
+    n_cont: int = struct.field(pytree_node=False)
+    n_disc: int = struct.field(pytree_node=False)
+    max_v: int = struct.field(pytree_node=False)
+    n_colors: int = struct.field(pytree_node=False)
+    meta: FGMeta = struct.field(pytree_node=False)
+    disc_sizes: Array  # i32 [n_disc]
+    disc_vals: Array  # f32 [n_disc, Vmax] per-var index->value
+    color_masks: Array  # f32 [n_colors, n_disc] chromatic Gibbs schedule
+    cont_lo: Array  # f32 [n_cont] domain bounds
+    cont_hi: Array  # f32 [n_cont]
+    cont_ipoints: Array  # f32 [n_cont, P] integral/discretization sites
+    cont_counts: Array  # f32 [n_cont] lifted orbit sizes (1 = grounded)
+    disc_counts: Array  # f32 [n_disc]
+
+    # ------------------------------------------------------------------
+    def log_prob(self, xc: Array, xd: Array) -> Array:
+        """Unnormalized log p(x) = Σ_f scale_f · log φ_f. Jit/vmap friendly."""
+        total = jnp.zeros((), jnp.float32)
+        for b in self.buckets:
+            params, xcs, xdi, xdv = b.gather_args(xc, xd)
+            lp = b.kernel(params, xcs, xdi, xdv)
+            total = total + jnp.sum(b.scale * lp)
+        return total
+
+    def log_prob_cont(self, xc: Array, xd: Array) -> Array:
+        """log p as a function of the continuous block (for HMC grads)."""
+        return self.log_prob(xc, xd)
+
+    def disc_logits(self, xc: Array, xd: Array) -> Array:
+        """Per-variable full-conditional logits for discrete latents.
+
+        Returns f32 ``[n_disc, max_v]``: for each discrete latent d and each
+        candidate value v, Σ over factors adjacent to d of
+        ``scale · log φ`` with slot d forced to v (other slots at current
+        state). Invalid candidate slots carry ``-1e30``. One fused pass per
+        bucket×slot — the chromatic-Gibbs inner kernel.
+        """
+        V = self.max_v
+        logits = jnp.zeros((max(self.n_disc, 1), V), jnp.float32)
+        cand = jnp.arange(V, dtype=jnp.int32)
+        for b in self.buckets:
+            if b.ad == 0:
+                continue
+            params, xcs, xdi, xdv = b.gather_args(xc, xd, extra_batch=1)
+            # broadcast current slots over the candidate axis: [n_f, V, a*]
+            xcs_b = xcs[:, None, :]
+            xdi_b = jnp.broadcast_to(xdi[:, None, :], (b.n_factors, V, b.ad))
+            for p in range(b.ad):
+                xdi_p = xdi_b.at[:, :, p].set(cand[None, :])
+                xdv_p = b.slot_values(xdi_p)
+                lp = b.kernel(params, xcs_b, xdi_p, xdv_p)  # [n_f, V]
+                w = b.scale * b.disc_mask[:, p]  # latent slots only
+                contrib = jnp.nan_to_num(lp, neginf=_NEG_BIG) * w[:, None]
+                logits = logits.at[b.disc_idx[:, p]].add(contrib)
+        valid = cand[None, :] < self.disc_sizes[:, None]
+        return jnp.where(valid, logits[: self.n_disc], _NEG_BIG)
+
+    def init_state(self, key: Array, jitter: float = 0.1):
+        """A (xc, xd) state: continuous at domain midpoint + jitter,
+        discrete uniform-random valid indices."""
+        kc, kd = jax.random.split(key)
+        mid = 0.5 * (self.cont_lo + self.cont_hi)
+        span = jnp.minimum(self.cont_hi - self.cont_lo, 4.0)
+        xc = mid + jitter * span * jax.random.normal(kc, (self.n_cont,))
+        u = jax.random.uniform(kd, (self.n_disc,))
+        xd = jnp.floor(u * self.disc_sizes).astype(jnp.int32)
+        return xc, xd
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad axis 0 to n rows by repeating row 0 (keeps kernels finite)."""
+    if a.shape[0] == n:
+        return a
+    reps = np.repeat(a[:1], n - a.shape[0], axis=0)
+    return np.concatenate([a, reps], axis=0)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def compile_graph(
+    g: Graph,
+    pad_to: int = 8,
+    scales: Dict[int, float] = None,
+    var_overrides: Dict[int, Tuple[str, int]] = None,
+    n_cont_override: int = None,
+    n_disc_override: int = None,
+) -> CompiledFG:
+    """Compile a host ``Graph`` into the array IR.
+
+    ``scales``/``var_overrides``/``n_*_override`` are the hooks the lifted
+    compiler (``lhvi_tpu.lift``) uses to emit one representative factor per
+    orbit with ``scale = |orbit|`` and orbit-tied variable slots.
+    """
+    g.init_nb()
+    meta = FGMeta()
+    meta.graph = g
+
+    # --- assign state indices -------------------------------------------
+    for rv in g.rvs:
+        if var_overrides is not None and id(rv) in var_overrides:
+            meta.index[id(rv)] = var_overrides[id(rv)]
+            continue
+        if rv.observed:
+            meta.index[id(rv)] = ("obs", -1)
+        elif rv.domain.continuous:
+            meta.index[id(rv)] = ("c", len(meta.cont_rvs))
+            meta.cont_rvs.append(rv)
+        else:
+            meta.index[id(rv)] = ("d", len(meta.disc_rvs))
+            meta.disc_rvs.append(rv)
+
+    n_cont = n_cont_override if n_cont_override is not None else len(meta.cont_rvs)
+    n_disc = n_disc_override if n_disc_override is not None else len(meta.disc_rvs)
+
+    # --- per-variable tables --------------------------------------------
+    # (when the lifting pass overrides variable slots, it provides the
+    #  per-slot domain via representative RVs; build tables from first
+    #  writer of each slot)
+    disc_dom: List[Domain] = [None] * n_disc
+    cont_dom: List[Domain] = [None] * n_cont
+    for rv in g.rvs:
+        kind, i = meta.index[id(rv)]
+        if kind == "d" and disc_dom[i] is None:
+            disc_dom[i] = rv.domain
+        elif kind == "c" and cont_dom[i] is None:
+            cont_dom[i] = rv.domain
+
+    max_v = max([d.size for d in disc_dom if d is not None] + [1])
+    disc_sizes = np.array(
+        [d.size if d is not None else 1 for d in disc_dom], np.int32
+    ).reshape(n_disc)
+    disc_vals = np.zeros((n_disc, max_v), np.float32)
+    for i, d in enumerate(disc_dom):
+        if d is not None:
+            disc_vals[i, : d.size] = d.values
+
+    n_ip = max([len(d.integral_points) for d in cont_dom if d is not None] + [1])
+    cont_lo = np.zeros(n_cont, np.float32)
+    cont_hi = np.zeros(n_cont, np.float32)
+    cont_ip = np.zeros((n_cont, n_ip), np.float32)
+    for i, d in enumerate(cont_dom):
+        if d is None:
+            continue
+        cont_lo[i], cont_hi[i] = d.low, d.high
+        ip = np.asarray(d.integral_points, np.float32)
+        cont_ip[i, : len(ip)] = ip
+        if len(ip) < n_ip:  # pad with last site (harmless duplicates)
+            cont_ip[i, len(ip):] = ip[-1] if len(ip) else 0.0
+
+    # --- bucket the factors ---------------------------------------------
+    buckets_raw: Dict[Any, List[F]] = {}
+    for f in g.factors:
+        for rv in f.nb:
+            if id(rv) not in meta.index:
+                raise ValueError(
+                    f"factor {f} references {rv} which is not in Graph.rvs"
+                )
+        pattern = tuple(rv.domain.continuous for rv in f.nb)
+        key = (f.potential.bucket_key(), pattern)
+        buckets_raw.setdefault(key, []).append(f)
+
+    buckets: List[FactorBucket] = []
+    for (bkey, pattern), fs in buckets_raw.items():
+        ac = sum(pattern)
+        ad = len(pattern) - ac
+        n_raw = len(fs)
+        n = _round_up(max(n_raw, 1), pad_to)
+
+        p_stack: Dict[str, List[np.ndarray]] = {}
+        c_idx = np.zeros((n_raw, ac), np.int32)
+        c_mask = np.zeros((n_raw, ac), np.float32)
+        c_const = np.zeros((n_raw, ac), np.float32)
+        d_idx = np.zeros((n_raw, ad), np.int32)
+        d_mask = np.zeros((n_raw, ad), np.float32)
+        d_const = np.zeros((n_raw, ad), np.int32)
+        d_vals = np.zeros((n_raw, ad, max_v), np.float32)
+        d_size = np.ones((n_raw, ad), np.int32)
+        scale = np.ones(n_raw, np.float32)
+
+        for r, f in enumerate(fs):
+            if scales is not None:
+                scale[r] = scales.get(id(f), 1.0)
+            for k, v in f.potential.param_arrays().items():
+                p_stack.setdefault(k, []).append(np.asarray(v, dtype=None))
+            ci = di = 0
+            for rv, is_cont in zip(f.nb, pattern):
+                kind, idx = meta.index[id(rv)]
+                if is_cont:
+                    if kind == "c":
+                        c_idx[r, ci], c_mask[r, ci] = idx, 1.0
+                    else:  # observed
+                        c_const[r, ci] = float(rv.value)
+                    ci += 1
+                else:
+                    dom = rv.domain
+                    d_vals[r, di, : dom.size] = dom.values
+                    if dom.size < max_v:
+                        d_vals[r, di, dom.size:] = dom.values[-1]
+                    d_size[r, di] = dom.size
+                    if kind == "d":
+                        d_idx[r, di], d_mask[r, di] = idx, 1.0
+                    else:
+                        d_const[r, di] = dom.value_index(rv.value)
+                    di += 1
+
+        params = {}
+        for k, v in p_stack.items():
+            stacked = np.stack(v)
+            if np.issubdtype(stacked.dtype, np.floating):
+                stacked = stacked.astype(np.float32)
+            params[k] = _pad_rows(stacked, n)
+        pad = lambda a: _pad_rows(a, n)  # noqa: E731
+        scale_p = np.concatenate([scale, np.zeros(n - n_raw, np.float32)])
+        kernel = fs[0].potential.kernel(pattern)
+        buckets.append(
+            FactorBucket(
+                kind=str(bkey),
+                pattern=pattern,
+                kernel=kernel,
+                params={k: jnp.asarray(v) for k, v in params.items()},
+                cont_idx=jnp.asarray(pad(c_idx)),
+                cont_mask=jnp.asarray(pad(c_mask) * (scale_p > 0)[:, None]
+                                      if ac else pad(c_mask)),
+                cont_const=jnp.asarray(pad(c_const)),
+                disc_idx=jnp.asarray(pad(d_idx)),
+                disc_mask=jnp.asarray(pad(d_mask) * (scale_p > 0)[:, None]
+                                      if ad else pad(d_mask)),
+                disc_const=jnp.asarray(pad(d_const)),
+                disc_vals=jnp.asarray(pad(d_vals)),
+                disc_size=jnp.asarray(pad(d_size)),
+                scale=jnp.asarray(scale_p),
+            )
+        )
+
+    # --- chromatic Gibbs schedule ---------------------------------------
+    color_of = _greedy_color(g, meta, n_disc)
+    n_colors = int(color_of.max() + 1) if n_disc else 1
+    color_masks = np.zeros((n_colors, n_disc), np.float32)
+    for i, c in enumerate(color_of):
+        color_masks[c, i] = 1.0
+
+    cont_counts = np.ones(n_cont, np.float32)
+    disc_counts = np.ones(n_disc, np.float32)
+    if meta.cont_counts is not None:
+        cont_counts = meta.cont_counts
+    if meta.disc_counts is not None:
+        disc_counts = meta.disc_counts
+
+    return CompiledFG(
+        buckets=tuple(buckets),
+        n_cont=n_cont,
+        n_disc=n_disc,
+        max_v=max_v,
+        n_colors=n_colors,
+        meta=meta,
+        disc_sizes=jnp.asarray(disc_sizes),
+        disc_vals=jnp.asarray(disc_vals),
+        color_masks=jnp.asarray(color_masks),
+        cont_lo=jnp.asarray(cont_lo),
+        cont_hi=jnp.asarray(cont_hi),
+        cont_ipoints=jnp.asarray(cont_ip),
+        cont_counts=jnp.asarray(cont_counts),
+        disc_counts=jnp.asarray(disc_counts),
+    )
+
+
+def _greedy_color(g: Graph, meta: FGMeta, n_disc: int) -> np.ndarray:
+    """Greedy conflict coloring of discrete latent slots (two slots conflict
+    if some factor touches both) → valid chromatic-Gibbs schedule."""
+    adj: List[set] = [set() for _ in range(n_disc)]
+    for f in g.factors:
+        slots = []
+        for rv in f.nb:
+            kind, idx = meta.index[id(rv)]
+            if kind == "d":
+                slots.append(idx)
+        for a in slots:
+            for b in slots:
+                if a != b:
+                    adj[a].add(b)
+    color = -np.ones(n_disc, np.int64)
+    for v in range(n_disc):
+        used = {color[u] for u in adj[v] if color[u] >= 0}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    if n_disc == 0:
+        return np.zeros(0, np.int64)
+    return color
