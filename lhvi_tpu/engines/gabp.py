@@ -1,0 +1,172 @@
+"""Gaussian belief propagation (reference ``GaBP.py`` parity, SURVEY.md §4.5).
+
+The host side extracts the information form (J, h) of any Gaussian-quadratic
+model — ``log p = −½ xᵀJx + hᵀx + const`` — from the factor graph
+(GaussianPotential / LinearGaussianPotential / QuadraticPotential /
+XYPotential terms; evidence is conditioned out), then runs the classic
+Weiss–Freeman directed-edge message recursion
+
+    α_{i→j} = −J_ij² / (J_ii + Σ_{k∈N(i)∖j} α_{k→i})
+    β_{i→j} = −J_ij · (h_i + Σ_{k∈N(i)∖j} β_{k→i}) / (J_ii + Σ α)
+
+TPU-first: messages live in flat directed-edge arrays; each sweep is one
+segment-sum over edges + a gather — a batched reduction, not a Python edge
+loop (SURVEY.md §4.5 "edge sweep becomes segment-reduce"). Exact means on
+walk-summable models; exact variances on trees.
+
+``dense_gaussian_marginals`` solves (J, h) directly and doubles as the
+exact oracle on small/medium Gaussian configs (the role GaBP itself plays
+in the reference's experiment scripts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lhvi_tpu.fg.graph import Graph, RV
+from lhvi_tpu.potentials import (
+    GaussianPotential,
+    LinearGaussianPotential,
+    QuadraticPotential,
+    XYPotential,
+)
+
+
+def information_form(g: Graph) -> Tuple[np.ndarray, np.ndarray, list]:
+    """Extract (J, h, latent_rvs) with evidence conditioned out.
+
+    Raises TypeError on non-Gaussian-quadratic potentials.
+    """
+    g.init_nb()
+    latents = [rv for rv in g.rvs if not rv.observed]
+    if any(not rv.domain.continuous for rv in latents):
+        raise TypeError("GaBP requires all latent variables continuous")
+    loc = {id(rv): i for i, rv in enumerate(latents)}
+    n = len(latents)
+    J = np.zeros((n, n))
+    h = np.zeros(n)
+
+    for f in g.factors:
+        Jp, hp = _local_quadratic(f.potential, len(f.nb))
+        idx = [loc.get(id(rv), -1) for rv in f.nb]  # -1 = observed
+        vals = [0.0 if i >= 0 else float(rv.value) for i, rv in zip(idx, f.nb)]
+        for a, ia in enumerate(idx):
+            if ia < 0:
+                continue
+            h[ia] += hp[a]
+            for b, ib in enumerate(idx):
+                if ib >= 0:
+                    J[ia, ib] += Jp[a, b]
+                else:  # condition on evidence: move cross term to h
+                    h[ia] -= Jp[a, b] * vals[b]
+    return J, h, latents
+
+
+def _local_quadratic(p, arity: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-factor (Jp, hp) with log φ = −½ xᵀJp x + hpᵀ x + const."""
+    if isinstance(p, GaussianPotential):
+        prec = np.asarray(p.prec, np.float64)
+        return prec, prec @ np.asarray(p.mu, np.float64)
+    if isinstance(p, LinearGaussianPotential):
+        a, v = float(p.coeff), float(p.sig)
+        return np.array([[a * a / v, -a / v], [-a / v, 1.0 / v]]), np.zeros(2)
+    if isinstance(p, QuadraticPotential):
+        A = np.asarray(p.A, np.float64)
+        return -(A + A.T), np.asarray(p.b, np.float64)
+    if isinstance(p, XYPotential):
+        c = float(p.coeff) / float(p.sig)
+        return np.array([[0.0, -c], [-c, 0.0]]), np.zeros(2)
+    raise TypeError(f"GaBP cannot handle potential type {type(p).__name__}")
+
+
+def dense_gaussian_marginals(g: Graph):
+    """Exact Gaussian marginals by dense solve (test oracle)."""
+    J, h, latents = information_form(g)
+    cov = np.linalg.inv(J)
+    mean = cov @ h
+    return {id(rv): (mean[i], cov[i, i]) for i, rv in enumerate(latents)}, latents
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _gabp_sweeps(J_diag, h, e_src, e_dst, e_J, e_rev, iters: int):
+    """Directed-edge GaBP as segment-sum sweeps.
+
+    e_src/e_dst: i32[E] endpoints; e_J: f32[E] coupling J_{src,dst};
+    e_rev: i32[E] index of the reverse edge.
+    """
+    n = J_diag.shape[0]
+    E = e_src.shape[0]
+    alpha = jnp.zeros(E)
+    beta = jnp.zeros(E)
+
+    def body(carry, _):
+        alpha, beta = carry
+        in_a = jnp.zeros(n).at[e_dst].add(alpha)  # Σ_k α_{k→i}
+        in_b = jnp.zeros(n).at[e_dst].add(beta)
+        # cavity sums at the source node, excluding the reverse edge
+        cav_a = in_a[e_src] - alpha[e_rev]
+        cav_b = in_b[e_src] - beta[e_rev]
+        prec = J_diag[e_src] + cav_a
+        alpha_new = -(e_J * e_J) / prec
+        beta_new = -e_J * (h[e_src] + cav_b) / prec
+        return (alpha_new, beta_new), None
+
+    (alpha, beta), _ = jax.lax.scan(body, (alpha, beta), None, length=iters)
+    prec = J_diag + jnp.zeros(n).at[e_dst].add(alpha)
+    mean = (h + jnp.zeros(n).at[e_dst].add(beta)) / prec
+    return mean, 1.0 / prec
+
+
+class GaBP:
+    """Engine facade: ``GaBP(g).run(iters)`` then ``mean/var/map`` queries."""
+
+    def __init__(self, g: Graph):
+        J, h, latents = information_form(g)
+        self.latents = latents
+        self.loc = {id(rv): i for i, rv in enumerate(latents)}
+        n = len(latents)
+        src, dst, cpl = [], [], []
+        for i in range(n):
+            for j in range(n):
+                if i != j and J[i, j] != 0.0:
+                    src.append(i)
+                    dst.append(j)
+                    cpl.append(J[i, j])
+        E = len(src)
+        rev_map = {(s, d): k for k, (s, d) in enumerate(zip(src, dst))}
+        rev = [rev_map[(d, s)] for s, d in zip(src, dst)]
+        self._args = (
+            jnp.asarray(np.diag(J), jnp.float32),
+            jnp.asarray(h, jnp.float32),
+            jnp.asarray(np.array(src, np.int32) if E else np.zeros(0, np.int32)),
+            jnp.asarray(np.array(dst, np.int32) if E else np.zeros(0, np.int32)),
+            jnp.asarray(np.array(cpl, np.float32) if E else np.zeros(0, np.float32)),
+            jnp.asarray(np.array(rev, np.int32) if E else np.zeros(0, np.int32)),
+        )
+        self.mean_ = None
+        self.var_ = None
+
+    def run(self, iters: int = 50):
+        mean, var = _gabp_sweeps(*self._args, iters=iters)
+        self.mean_ = np.asarray(mean)
+        self.var_ = np.asarray(var)
+        return self
+
+    def _i(self, rv: RV) -> int:
+        if id(rv) not in self.loc:
+            raise ValueError(f"{rv} is observed or unknown")
+        return self.loc[id(rv)]
+
+    def mean(self, rv: RV) -> float:
+        return float(self.mean_[self._i(rv)])
+
+    def var(self, rv: RV) -> float:
+        return float(self.var_[self._i(rv)])
+
+    def map(self, rv: RV) -> float:
+        return self.mean(rv)

@@ -1,0 +1,300 @@
+"""Mixture-of-Gaussian variational inference (the reference's "OSI" engine).
+
+Semantics parity with SURVEY.md §4.3 (reference ``OneShot.py``; mount empty,
+algorithm reconstructed from the companion paper): the belief is
+``b(x) = Σ_k w_k Π_v b_v^k(x_v)`` with Gaussian components for continuous
+latents and categoricals for discrete ones; the ELBO is
+
+    ELBO = Σ_f m_f · Σ_k w_k E_{b_k}[log φ_f]  +  H̃(b)
+
+where the factor expectations use Gauss–Hermite quadrature over continuous
+slots × enumeration over discrete slots, ``m_f`` is the lifted orbit count
+(``FactorBucket.scale``), and ``H̃`` is the Jensen lower bound on mixture
+entropy via pairwise component overlaps (per-variable terms weighted by
+orbit sizes ``cont_counts``/``disc_counts`` in lifted mode).
+
+TPU-first redesign vs the reference's TF-session loop: the whole ELBO is one
+``value_and_grad`` jit — factor terms batched per bucket with a static
+quadrature grid (grid only spans *latent* slots; evidence is baked by the
+compiler), optimized with optax Adam under ``lax.scan``. Entropy terms stay
+in f32 (SURVEY.md §9 hard part (b)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from lhvi_tpu.fg.compile import CompiledFG, FactorBucket, expand_params
+
+Array = jax.Array
+
+_NEG_BIG = -1e30
+
+
+@struct.dataclass
+class VIConfig:
+    K: int = struct.field(pytree_node=False, default=4)
+    n_quad: int = struct.field(pytree_node=False, default=9)
+    lr: float = struct.field(pytree_node=False, default=5e-2)
+    n_iters: int = struct.field(pytree_node=False, default=1500)
+    init_sigma: float = struct.field(pytree_node=False, default=1.0)
+    seed_spread: float = struct.field(pytree_node=False, default=1.0)
+
+
+class VIParams(NamedTuple):
+    log_w: Array  # [K]
+    mu: Array  # [K, n_cont]
+    log_sigma: Array  # [K, n_cont]
+    logits: Array  # [K, n_disc, Vmax]
+
+
+def init_params(fg: CompiledFG, key: Array, cfg: VIConfig) -> VIParams:
+    kmu, kl = jax.random.split(key)
+    mid = 0.5 * (fg.cont_lo + fg.cont_hi)
+    span = jnp.minimum(fg.cont_hi - fg.cont_lo, 4.0)
+    mu = mid + cfg.seed_spread * span[None, :] * 0.25 * jax.random.normal(
+        kmu, (cfg.K, fg.n_cont)
+    )
+    return VIParams(
+        log_w=jnp.zeros(cfg.K),
+        mu=mu,
+        log_sigma=jnp.full((cfg.K, fg.n_cont), jnp.log(cfg.init_sigma)),
+        logits=0.1 * jax.random.normal(kl, (cfg.K, fg.n_disc, fg.max_v)),
+    )
+
+
+def _valid_mask(fg: CompiledFG) -> Array:
+    """[n_disc, Vmax] 1 where the value index is inside the domain."""
+    v = jnp.arange(fg.max_v)[None, :]
+    return (v < fg.disc_sizes[:, None]).astype(jnp.float32)
+
+
+def beliefs_disc(fg: CompiledFG, params: VIParams) -> Array:
+    """Masked per-component categorical beliefs [K, n_disc, Vmax]."""
+    mask = _valid_mask(fg)[None]
+    logits = jnp.where(mask > 0, params.logits, _NEG_BIG)
+    return jax.nn.softmax(logits, axis=-1) * mask
+
+
+def _bucket_grid(b: FactorBucket, n_quad: int, max_v: int):
+    """Static quadrature/enumeration grid for one bucket.
+
+    Returns (node_sel [G, ac], ghw_prod [G], val_idx [G, ad] int32) where the
+    grid spans GH nodes for latent cont slots (a single dummy node for
+    observed ones) × value indices for latent disc slots.
+    """
+    ghx, ghw = np.polynomial.hermite.hermgauss(n_quad)
+    ghw = ghw / np.sqrt(np.pi)  # normalized: sum = 1
+
+    axes = []
+    kinds = []  # ('c', slot) or ('d', slot)
+    for p, lat in enumerate(b.cont_lat):
+        axes.append(np.arange(n_quad) if lat else np.array([0]))
+        kinds.append(("c", p))
+    for p, lat in enumerate(b.disc_lat):
+        axes.append(np.arange(max_v) if lat else np.array([0]))
+        kinds.append(("d", p))
+    mesh = np.meshgrid(*axes, indexing="ij") if axes else []
+    G = int(mesh[0].size) if mesh else 1
+
+    node_sel = np.zeros((G, len(b.cont_lat)), np.float64)  # GH node value
+    ghw_prod = np.ones(G, np.float64)
+    val_idx = np.zeros((G, len(b.disc_lat)), np.int32)
+    for (kind, p), m in zip(kinds, mesh):
+        flat = m.reshape(-1)
+        if kind == "c":
+            if b.cont_lat[p]:
+                node_sel[:, p] = ghx[flat]
+                ghw_prod *= ghw[flat]
+            # observed slot: node 0, weight 1 (value comes from cont_const)
+        else:
+            val_idx[:, p] = flat
+    return (
+        jnp.asarray(node_sel, jnp.float32),
+        jnp.asarray(ghw_prod, jnp.float32),
+        jnp.asarray(val_idx),
+    )
+
+
+def _bucket_expected_logpot(
+    fg: CompiledFG, b: FactorBucket, params: VIParams, bd: Array, n_quad: int
+) -> Array:
+    """Σ_f scale_f Σ_k w_k E_{b_k}[log φ_f] for one bucket."""
+    node_sel, ghw_prod, val_idx = _bucket_grid(b, n_quad, fg.max_v)
+    G = ghw_prod.shape[0]
+    n_f, ac, ad = b.n_factors, b.ac, b.ad
+
+    # continuous evaluation points: [K, n_f, G, ac]
+    if ac:
+        mu = params.mu[:, b.cont_idx]  # [K, n_f, ac]
+        sig = jnp.exp(params.log_sigma)[:, b.cont_idx]
+        lat = b.cont_mask[None, :, None, :]
+        pts = (
+            mu[:, :, None, :]
+            + jnp.sqrt(2.0) * sig[:, :, None, :] * node_sel[None, None, :, :]
+        )
+        xs = jnp.where(lat > 0, pts, b.cont_const[None, :, None, :])
+    else:
+        K = params.mu.shape[0]
+        xs = jnp.zeros((K, n_f, G, 0))
+
+    # discrete grid indices: [n_f, G, ad] (+ observed slots from disc_const)
+    if ad:
+        xdi = jnp.where(
+            b.disc_mask[:, None, :] > 0,
+            jnp.broadcast_to(val_idx[None], (n_f, G, ad)),
+            b.disc_const[:, None, :],
+        )
+        xdv = b.slot_values(xdi)
+        # per-component weight of each grid point: Π over latent disc slots
+        # of b_k(var)[val]; invalid values carry zero belief mass.
+        bprob = bd[:, b.disc_idx]  # [K, n_f, ad, Vmax]
+        sel = jnp.take_along_axis(
+            jnp.broadcast_to(
+                bprob[:, :, None, :, :], bprob.shape[:2] + (G,) + bprob.shape[2:]
+            ),
+            xdi[None, :, :, :, None],
+            axis=-1,
+        )[..., 0]  # [K, n_f, G, ad]
+        w_disc = jnp.prod(
+            jnp.where(b.disc_mask[None, :, None, :] > 0, sel, 1.0), axis=-1
+        )  # [K, n_f, G]
+    else:
+        xdi = jnp.zeros((n_f, G, 0), jnp.int32)
+        xdv = jnp.zeros((n_f, G, 0))
+        w_disc = jnp.ones((1, n_f, G))
+
+    pk = expand_params(b.params, 1)  # [n_f, 1, ...] vs grid axis
+    log_phi = b.kernel(pk, xs, xdi[None], xdv[None])  # [K, n_f, G]
+    log_phi = jnp.clip(jnp.nan_to_num(log_phi, neginf=_NEG_BIG), _NEG_BIG, None)
+    e_kf = jnp.sum(ghw_prod[None, None, :] * w_disc * log_phi, axis=-1)  # [K, n_f]
+    w = jax.nn.softmax(params.log_w)
+    return jnp.sum(b.scale[None, :] * w[:, None] * e_kf)
+
+
+def mixture_entropy_bound(fg: CompiledFG, params: VIParams, bd: Array) -> Array:
+    """Jensen lower bound on the mixture entropy via component overlaps.
+
+    H(q) ≥ −Σ_k w_k log Σ_l w_l z_kl,  z_kl = ∫ q_k q_l, with per-variable
+    overlap terms weighted by lifted orbit counts. All f32.
+    """
+    w = jax.nn.softmax(params.log_w)
+    log_w = jax.nn.log_softmax(params.log_w)
+
+    log_z = jnp.zeros((params.mu.shape[0], params.mu.shape[0]))
+    if fg.n_cont:
+        mu_k = params.mu[:, None, :]  # [K, 1, n]
+        mu_l = params.mu[None, :, :]
+        v_k = jnp.exp(2.0 * params.log_sigma)[:, None, :]
+        v_l = jnp.exp(2.0 * params.log_sigma)[None, :, :]
+        var = v_k + v_l
+        per_var = -0.5 * (
+            jnp.log(2.0 * jnp.pi * var) + (mu_k - mu_l) ** 2 / var
+        )  # [K, K, n]
+        log_z = log_z + jnp.sum(fg.cont_counts[None, None, :] * per_var, axis=-1)
+    if fg.n_disc:
+        ov = jnp.sum(bd[:, None] * bd[None, :], axis=-1)  # [K, K, n_disc]
+        log_ov = jnp.log(jnp.maximum(ov, 1e-30))
+        log_z = log_z + jnp.sum(fg.disc_counts[None, None, :] * log_ov, axis=-1)
+
+    inner = jax.scipy.special.logsumexp(log_w[None, :] + log_z, axis=1)  # [K]
+    return -jnp.sum(w * inner)
+
+
+def elbo(fg: CompiledFG, params: VIParams, n_quad: int) -> Array:
+    bd = beliefs_disc(fg, params)
+    total = mixture_entropy_bound(fg, params, bd)
+    for b in fg.buckets:
+        total = total + _bucket_expected_logpot(fg, b, params, bd, n_quad)
+    return total
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fit(fg: CompiledFG, key: Array, cfg: VIConfig = VIConfig()):
+    """Optimize the ELBO; returns (params, elbo_trace [n_iters])."""
+    params = init_params(fg, key, cfg)
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(
+            lambda p: -elbo(fg, p, cfg.n_quad)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), -loss
+
+    (params, _), trace = jax.lax.scan(
+        step, (params, opt_state), None, length=cfg.n_iters
+    )
+    return params, trace
+
+
+class VIResult:
+    """Mixture-belief queries (reference ``belief``/``map`` parity)."""
+
+    def __init__(self, fg: CompiledFG, params: VIParams, trace=None):
+        self.fg = fg
+        self.params = jax.device_get(params)
+        self.trace = None if trace is None else np.asarray(trace)
+        self.w = np.asarray(jax.nn.softmax(jnp.asarray(self.params.log_w)))
+        self.bd = np.asarray(beliefs_disc(fg, params))
+
+    def _loc(self, rv, want):
+        kind, i = self.fg.meta.loc(rv)
+        if kind == "obs":
+            raise ValueError(f"{rv} is observed (evidence); it has no posterior")
+        if kind != want:
+            raise ValueError(f"{rv} is {'continuous' if kind == 'c' else 'discrete'}")
+        return i
+
+    def mean(self, rv) -> float:
+        i = self._loc(rv, "c")
+        return float(np.sum(self.w * np.asarray(self.params.mu)[:, i]))
+
+    def var(self, rv) -> float:
+        i = self._loc(rv, "c")
+        mu = np.asarray(self.params.mu)[:, i]
+        s2 = np.exp(2.0 * np.asarray(self.params.log_sigma)[:, i])
+        m = np.sum(self.w * mu)
+        return float(np.sum(self.w * (s2 + mu**2)) - m**2)
+
+    def disc_marginal(self, rv) -> np.ndarray:
+        i = self._loc(rv, "d")
+        size = rv.domain.size
+        return np.einsum("k,kv->v", self.w, self.bd[:, i, :size])
+
+    def belief(self, x, rv) -> float:
+        """Mixture marginal density/pmf of rv at x."""
+        kind, i = self.fg.meta.loc(rv)
+        if kind == "c":
+            mu = np.asarray(self.params.mu)[:, i]
+            s = np.exp(np.asarray(self.params.log_sigma)[:, i])
+            dens = np.exp(-0.5 * ((x - mu) / s) ** 2) / (s * np.sqrt(2 * np.pi))
+            return float(np.sum(self.w * dens))
+        probs = self.disc_marginal(rv)
+        return float(probs[rv.domain.value_index(x)])
+
+    def map(self, rv):
+        kind, i = self.fg.meta.loc(rv)
+        if kind == "d":
+            probs = self.disc_marginal(rv)
+            return rv.domain.values[int(probs.argmax())]
+        # mixture mode via the component with max weighted density at its mean
+        mu = np.asarray(self.params.mu)[:, i]
+        s = np.exp(np.asarray(self.params.log_sigma)[:, i])
+        score = self.w / s
+        return float(mu[int(score.argmax())])
+
+
+def infer(fg: CompiledFG, key, cfg: VIConfig = VIConfig()) -> VIResult:
+    params, trace = fit(fg, key, cfg)
+    return VIResult(fg, params, trace)

@@ -66,6 +66,11 @@ class FactorBucket:
 
     kind: str = struct.field(pytree_node=False)
     pattern: Tuple[bool, ...] = struct.field(pytree_node=False)
+    # uniform per-bucket latency flags (evidence pattern is part of the
+    # bucket key, so every factor in a bucket shares them): one bool per
+    # cont / disc slot, True = latent. Static → usable for grid construction.
+    cont_lat: Tuple[bool, ...] = struct.field(pytree_node=False)
+    disc_lat: Tuple[bool, ...] = struct.field(pytree_node=False)
     kernel: Callable = struct.field(pytree_node=False)
     params: Dict[str, Array]  # leaves [n_f, ...]
     cont_idx: Array  # i32 [n_f, ac] into x_c (0 where not latent)
@@ -227,6 +232,8 @@ def compile_graph(
     var_overrides: Dict[int, Tuple[str, int]] = None,
     n_cont_override: int = None,
     n_disc_override: int = None,
+    cont_counts: np.ndarray = None,
+    disc_counts: np.ndarray = None,
 ) -> CompiledFG:
     """Compile a host ``Graph`` into the array IR.
 
@@ -299,11 +306,12 @@ def compile_graph(
                     f"factor {f} references {rv} which is not in Graph.rvs"
                 )
         pattern = tuple(rv.domain.continuous for rv in f.nb)
-        key = (f.potential.bucket_key(), pattern)
+        latency = tuple(meta.index[id(rv)][0] != "obs" for rv in f.nb)
+        key = (f.potential.bucket_key(), pattern, latency)
         buckets_raw.setdefault(key, []).append(f)
 
     buckets: List[FactorBucket] = []
-    for (bkey, pattern), fs in buckets_raw.items():
+    for (bkey, pattern, latency), fs in buckets_raw.items():
         ac = sum(pattern)
         ad = len(pattern) - ac
         n_raw = len(fs)
@@ -355,10 +363,14 @@ def compile_graph(
         pad = lambda a: _pad_rows(a, n)  # noqa: E731
         scale_p = np.concatenate([scale, np.zeros(n - n_raw, np.float32)])
         kernel = fs[0].potential.kernel(pattern)
+        cont_lat = tuple(l for l, c in zip(latency, pattern) if c)
+        disc_lat = tuple(l for l, c in zip(latency, pattern) if not c)
         buckets.append(
             FactorBucket(
                 kind=str(bkey),
                 pattern=pattern,
+                cont_lat=cont_lat,
+                disc_lat=disc_lat,
                 kernel=kernel,
                 params={k: jnp.asarray(v) for k, v in params.items()},
                 cont_idx=jnp.asarray(pad(c_idx)),
@@ -382,12 +394,11 @@ def compile_graph(
     for i, c in enumerate(color_of):
         color_masks[c, i] = 1.0
 
-    cont_counts = np.ones(n_cont, np.float32)
-    disc_counts = np.ones(n_disc, np.float32)
-    if meta.cont_counts is not None:
-        cont_counts = meta.cont_counts
-    if meta.disc_counts is not None:
-        disc_counts = meta.disc_counts
+    if cont_counts is None:
+        cont_counts = np.ones(n_cont, np.float32)
+    if disc_counts is None:
+        disc_counts = np.ones(n_disc, np.float32)
+    meta.cont_counts, meta.disc_counts = cont_counts, disc_counts
 
     return CompiledFG(
         buckets=tuple(buckets),

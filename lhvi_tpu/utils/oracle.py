@@ -38,10 +38,11 @@ class ExactPosterior:
 
         mesh = np.meshgrid(*axes, indexing="ij") if axes else []
         nc = len(self.cont)
+        n_states = int(mesh[0].size) if mesh else 1
         states_c = (
             np.stack([m.reshape(-1) for m in mesh[:nc]], -1)
             if nc
-            else np.zeros((int(np.prod([m.size for m in mesh])) if mesh else 1, 0))
+            else np.zeros((n_states, 0))
         )
         states_d = (
             np.stack([m.reshape(-1).astype(np.int64) for m in mesh[nc:]], -1)
