@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract: print ONE JSON line).
+
+Metric: HMC samples/s/chip on the 10×10 Gaussian-grid MRF with evidence
+(BASELINE config 2) — one sample = one full HMC iteration of one chain
+(leapfrog(8) + accept), 1024 chains batched on the chip.
+
+``vs_baseline``: the reference is a single-machine pure-Python/numpy
+codebase with no published numbers (BASELINE.md), so the baseline is a
+faithful single-thread numpy implementation of the same sampler on the same
+model, timed here on the host CPU — i.e. "how much faster than the
+reference's technology stack on this model".
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lhvi_jax_cache")
+
+import numpy as np
+
+
+N_CHAINS = 1024
+N_LEAPFROG = 8
+STEP = 0.12
+N_ITERS_TPU = 200
+N_ITERS_NP = 6
+
+
+def build_model():
+    from lhvi_tpu.models.toy import gaussian_grid
+
+    g, _ = gaussian_grid(rows=10, cols=10, seed=0, evidence_frac=0.2)
+    return g
+
+
+def numpy_baseline(g, iters=N_ITERS_NP, chains=8):
+    """Reference-class implementation: per-chain Python loop, numpy math."""
+    from lhvi_tpu.engines.gabp import information_form
+
+    J, h, latents = information_form(g)
+    n = len(latents)
+    rng = np.random.default_rng(0)
+
+    def logp(x):
+        return -0.5 * x @ J @ x + h @ x
+
+    def grad(x):
+        return h - J @ x
+
+    t0 = time.perf_counter()
+    for c in range(chains):
+        x = rng.normal(0, 1, n)
+        for _ in range(iters):
+            p = rng.normal(0, 1, n)
+            x1, p1 = x.copy(), p.copy()
+            for _ in range(N_LEAPFROG):
+                p1 += 0.5 * STEP * grad(x1)
+                x1 += STEP * p1
+                p1 += 0.5 * STEP * grad(x1)
+            h0 = -logp(x) + 0.5 * p @ p
+            h1 = -logp(x1) + 0.5 * p1 @ p1
+            if np.log(rng.uniform()) < min(0.0, h0 - h1):
+                x = x1
+    dt = time.perf_counter() - t0
+    return chains * iters / dt  # samples/s
+
+
+def tpu_throughput(g):
+    import jax
+    from lhvi_tpu import compile_graph
+    from lhvi_tpu.engines import hmc
+
+    fg = compile_graph(g)
+    cfg = hmc.HMCConfig(n_leapfrog=N_LEAPFROG, init_step_size=STEP)
+
+    def run(key, n_samples):
+        s_xc, _, diag = hmc.run_hmc(
+            fg, key, cfg,
+            n_chains=N_CHAINS, n_warmup=0, n_samples=n_samples,
+        )
+        return s_xc[-1], diag
+
+    # warm-up / compile
+    out, diag = run(jax.random.PRNGKey(0), 10)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    out, diag = run(jax.random.PRNGKey(1), N_ITERS_TPU)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return N_CHAINS * N_ITERS_TPU / dt, diag
+
+
+def main():
+    g = build_model()
+    tpu_sps, diag = tpu_throughput(g)
+    base_sps = numpy_baseline(g)
+    print(
+        json.dumps(
+            {
+                "metric": "hmc_grid10x10_samples_per_s_per_chip",
+                "value": round(tpu_sps, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(tpu_sps / base_sps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

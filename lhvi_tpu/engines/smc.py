@@ -1,0 +1,247 @@
+"""Annealed Sequential Monte Carlo with systematic resampling.
+
+New backend mandated by BASELINE.json's north-star (the reference has no
+SMC). Targets the full joint of any compiled factor graph by likelihood
+tempering: particles start from a broad base distribution q0 and follow the
+path  log π_β = (1−β)·log q0 + β·log p  over a fixed β-grid, with
+
+- importance reweighting between temperatures (and a running log-Z
+  estimate),
+- ESS-triggered **systematic resampling** (sorted-uniform positions →
+  ``searchsorted`` gather; on a sharded particle axis XLA lowers the
+  cumulative-weight gather to all-gather + permute collectives —
+  SURVEY.md §9 hard part (d)),
+- HMC rejuvenation moves on continuous latents + tempered chromatic-Gibbs
+  moves on discrete latents at each temperature.
+
+The particle axis is the unit of data parallelism: ``lhvi_tpu.parallel``
+shards it over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lhvi_tpu.fg.compile import CompiledFG
+from lhvi_tpu.engines.hmc import _leapfrog
+
+Array = jax.Array
+
+
+@struct.dataclass
+class SMCConfig:
+    n_particles: int = struct.field(pytree_node=False, default=1024)
+    n_temps: int = struct.field(pytree_node=False, default=40)
+    n_moves: int = struct.field(pytree_node=False, default=2)
+    n_leapfrog: int = struct.field(pytree_node=False, default=5)
+    step_size: float = struct.field(pytree_node=False, default=0.25)
+    ess_frac: float = struct.field(pytree_node=False, default=0.5)
+    base_scale: float = struct.field(pytree_node=False, default=2.0)
+
+
+class SMCState(NamedTuple):
+    xc: Array  # [N, n_cont]
+    xd: Array  # [N, n_disc]
+    log_w: Array  # [N] unnormalized
+    log_z: Array  # running evidence estimate
+    key: Array
+
+
+def _base_log_prob(fg: CompiledFG, cfg: SMCConfig, xc: Array) -> Array:
+    mid = 0.5 * (fg.cont_lo + fg.cont_hi)
+    scale = cfg.base_scale * jnp.ones_like(mid)
+    z = (xc - mid) / scale
+    lp = jnp.sum(-0.5 * z * z - jnp.log(scale) - 0.5 * jnp.log(2 * jnp.pi), -1)
+    # uniform base over discrete latents (constant, but keeps log-Z honest)
+    return lp - jnp.sum(jnp.log(fg.disc_sizes.astype(jnp.float32)))
+
+
+def systematic_resample(key: Array, log_w: Array, n: int) -> Array:
+    """Systematic resampling: returns i32[n] parent indices.
+
+    Deterministic given one uniform draw — no per-particle host sync; the
+    ``searchsorted`` over the cumulative weights is the only cross-particle
+    dependency (a gather / all-gather when sharded).
+    """
+    w = jax.nn.softmax(log_w)
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, ())
+    pos = (jnp.arange(n) + u0) / n
+    return jnp.clip(jnp.searchsorted(cum, pos), 0, log_w.shape[0] - 1).astype(
+        jnp.int32
+    )
+
+
+def _tempered_logp(fg: CompiledFG, cfg: SMCConfig, xc, xd, beta):
+    return beta * fg.log_prob(xc, xd) + (1.0 - beta) * _base_log_prob(
+        fg, cfg, xc[None, :]
+    )[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig()):
+    """Returns (xc [N,n_cont], xd [N,n_disc], log_w [N], log_z, diag)."""
+    N = cfg.n_particles
+    k0, key = jax.random.split(key)
+    mid = 0.5 * (fg.cont_lo + fg.cont_hi)
+    kc, kd = jax.random.split(k0)
+    xc = mid + cfg.base_scale * jax.random.normal(kc, (N, fg.n_cont))
+    xd = jnp.floor(
+        jax.random.uniform(kd, (N, fg.n_disc)) * fg.disc_sizes
+    ).astype(jnp.int32)
+
+    betas = jnp.linspace(0.0, 1.0, cfg.n_temps + 1)
+
+    def logp_both(xc_i, xd_i, beta):
+        return _tempered_logp(fg, cfg, xc_i, xd_i, beta)
+
+    def temp_step(state: SMCState, inp):
+        beta_prev, beta = inp
+        key, k_res, k_mom, k_acc, k_gibbs = jax.random.split(state.key, 5)
+        xc, xd, log_w = state.xc, state.xd, state.log_w
+
+        # --- reweight: incremental weight between temperatures ------------
+        # invariant: log_w enters normalized (logsumexp == 0)
+        lp_full = jax.vmap(fg.log_prob)(xc, xd)
+        lp_base = _base_log_prob(fg, cfg, xc)
+        inc = (beta - beta_prev) * (lp_full - lp_base)
+        lw_unnorm = log_w + inc
+        step_z = jax.scipy.special.logsumexp(lw_unnorm)
+        log_z = state.log_z + step_z
+        lw_norm = lw_unnorm - step_z
+        ess = 1.0 / jnp.sum(jnp.exp(2.0 * lw_norm))
+
+        # --- ESS-triggered systematic resampling ---------------------------
+        def do_resample(args):
+            xc, xd, _ = args
+            idx = systematic_resample(k_res, lw_norm, N)
+            return xc[idx], xd[idx], jnp.full(N, -jnp.log(1.0 * N))
+
+        need = ess < cfg.ess_frac * N
+        xc, xd, log_w = jax.lax.cond(
+            need, do_resample, lambda a: a, (xc, xd, lw_norm)
+        )
+
+        # --- rejuvenation moves -------------------------------------------
+        def move(carry, k):
+            xc, xd = carry
+            km, ka, kg = jax.random.split(k, 3)
+
+            # HMC move on the tempered target
+            def one(ki, kai, xc_i, xd_i):
+                logp = lambda x: logp_both(x, xd_i, beta)
+                p0 = jax.random.normal(ki, xc_i.shape)
+                x1, p1 = _leapfrog(
+                    logp, xc_i, p0, cfg.step_size, jnp.ones_like(xc_i),
+                    cfg.n_leapfrog,
+                )
+                h0 = -logp(xc_i) + 0.5 * jnp.sum(p0 * p0)
+                h1 = -logp(x1) + 0.5 * jnp.sum(p1 * p1)
+                ok = jnp.log(jax.random.uniform(kai, ())) < jnp.minimum(
+                    0.0, h0 - h1
+                )
+                return jnp.where(ok & jnp.isfinite(h1), x1, xc_i), ok
+
+            if fg.n_cont:
+                kms = jax.random.split(km, N)
+                kas = jax.random.split(ka, N)
+                xc, acc = jax.vmap(one)(kms, kas, xc, xd)
+            else:
+                acc = jnp.ones(N, bool)
+
+            # tempered Gibbs for discrete latents
+            if fg.n_disc:
+                def gibbs_one(kg_i, xc_i, xd_i):
+                    def color_step(xd_i, cinp):
+                        kk, mask = cinp
+                        logits = beta * fg.disc_logits(xc_i, xd_i)
+                        new = jax.random.categorical(kk, logits, -1).astype(
+                            jnp.int32
+                        )
+                        return jnp.where(mask > 0, new, xd_i), None
+
+                    ks = jax.random.split(kg_i, fg.n_colors)
+                    out, _ = jax.lax.scan(
+                        color_step, xd_i, (ks, fg.color_masks)
+                    )
+                    return out
+
+                xd = jax.vmap(gibbs_one)(jax.random.split(kg, N), xc, xd)
+            return (xc, xd), jnp.mean(acc.astype(jnp.float32))
+
+        (xc, xd), accs = jax.lax.scan(
+            move, (xc, xd), jax.random.split(k_acc, cfg.n_moves)
+        )
+
+        new = SMCState(xc=xc, xd=xd, log_w=log_w, log_z=log_z, key=key)
+        return new, (ess, jnp.mean(accs))
+
+    state = SMCState(
+        xc=xc,
+        xd=xd,
+        log_w=jnp.full(N, -jnp.log(1.0 * N)),  # normalized uniform
+        log_z=jnp.zeros(()),
+        key=key,
+    )
+    state, (ess_tr, acc_tr) = jax.lax.scan(
+        temp_step, state, (betas[:-1], betas[1:])
+    )
+    # log_z accumulated log(Σ w·inc) per step with normalized weights, so it
+    # estimates log(Z_p / Z_q0); q0 here is normalized, i.e. log_z ≈ log Z.
+    diag = {"ess": ess_tr, "accept": acc_tr, "log_z": state.log_z}
+    return state.xc, state.xd, state.log_w, state.log_z, diag
+
+
+class SMCResult:
+    """Weighted-particle queries."""
+
+    def __init__(self, fg: CompiledFG, xc, xd, log_w, log_z, diag):
+        self.fg = fg
+        self.xc = np.asarray(xc)
+        self.xd = np.asarray(xd)
+        w = np.asarray(jax.nn.softmax(log_w))
+        self.w = w
+        self.log_z = float(log_z)
+        self.diag = diag
+
+    def _loc(self, rv, want):
+        kind, i = self.fg.meta.loc(rv)
+        if kind == "obs":
+            raise ValueError(f"{rv} is observed (evidence); it has no posterior")
+        if kind != want:
+            raise ValueError(f"{rv} is {'continuous' if kind == 'c' else 'discrete'}")
+        return i
+
+    def mean(self, rv) -> float:
+        i = self._loc(rv, "c")
+        return float(np.sum(self.w * self.xc[:, i]))
+
+    def var(self, rv) -> float:
+        i = self._loc(rv, "c")
+        m = self.mean(rv)
+        return float(np.sum(self.w * (self.xc[:, i] - m) ** 2))
+
+    def disc_marginal(self, rv) -> np.ndarray:
+        i = self._loc(rv, "d")
+        size = rv.domain.size
+        out = np.zeros(size)
+        np.add.at(out, self.xd[:, i], self.w)
+        return out
+
+    def map(self, rv):
+        kind, _ = self.fg.meta.loc(rv)
+        if kind == "c":
+            return self.mean(rv)
+        p = self.disc_marginal(rv)
+        return rv.domain.values[int(p.argmax())]
+
+
+def sample(fg: CompiledFG, key, cfg: SMCConfig = SMCConfig()) -> SMCResult:
+    xc, xd, log_w, log_z, diag = run_smc(fg, key, cfg)
+    return SMCResult(fg, xc, xd, log_w, log_z, diag)

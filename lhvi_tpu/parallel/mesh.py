@@ -1,0 +1,102 @@
+"""Device-mesh plumbing: sharded chains/particles and factor-axis TP.
+
+SURVEY.md §3.2 build-side plan: data parallelism = chains/particles over a
+``dp`` mesh axis (the primary axis); tensor parallelism = the factor/bucket
+axis of the compiled graph over ``tp`` for pod-scale grounded models; ELBO
+and log-prob reductions become ``psum``-style collectives inserted by XLA
+from sharding annotations. Multi-host: ``jax.distributed.initialize`` then
+the same code — the mesh simply spans hosts (DCN axis outermost).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lhvi_tpu.fg.compile import CompiledFG, FactorBucket
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("dp", "tp"),
+    devices=None,
+) -> Mesh:
+    """Build a mesh over the available devices.
+
+    Default: all devices on the ``dp`` (chains/particles) axis, ``tp`` = 1.
+    """
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def chain_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Sharding for a leading chains/particles axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_chain_state(mesh: Mesh, xc, xd, axis: str = "dp"):
+    """Place [C, …] chain state with the chain axis sharded."""
+    sh = chain_sharding(mesh, axis)
+    return jax.device_put(xc, sh), jax.device_put(xd, sh)
+
+
+def shard_fg_factors(fg: CompiledFG, mesh: Mesh, axis: str = "tp") -> CompiledFG:
+    """Tensor-parallel placement: shard every bucket's factor axis.
+
+    Requires bucket sizes divisible by the axis size — ``compile_graph``'s
+    ``pad_to`` should be a multiple of it. Per-variable tables stay
+    replicated; XLA turns the bucket reductions into psums over ``tp``.
+    """
+    size = mesh.shape[axis]
+    fsh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def place_bucket(b: FactorBucket) -> FactorBucket:
+        if b.n_factors % size != 0:
+            raise ValueError(
+                f"bucket {b.kind} has {b.n_factors} rows, not divisible by "
+                f"tp={size}; compile with pad_to a multiple of it"
+            )
+
+        def shard_leaf(x):
+            spec = P(axis) if x.ndim >= 1 else P()
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        return b.replace(
+            params=jax.tree_util.tree_map(shard_leaf, b.params),
+            cont_idx=jax.device_put(b.cont_idx, fsh),
+            cont_mask=jax.device_put(b.cont_mask, fsh),
+            cont_const=jax.device_put(b.cont_const, fsh),
+            disc_idx=jax.device_put(b.disc_idx, fsh),
+            disc_mask=jax.device_put(b.disc_mask, fsh),
+            disc_const=jax.device_put(b.disc_const, fsh),
+            disc_vals=jax.device_put(b.disc_vals, fsh),
+            disc_size=jax.device_put(b.disc_size, fsh),
+            scale=jax.device_put(b.scale, fsh),
+        )
+
+    return fg.replace(
+        buckets=tuple(place_bucket(b) for b in fg.buckets),
+        disc_sizes=jax.device_put(fg.disc_sizes, rep),
+        disc_vals=jax.device_put(fg.disc_vals, rep),
+        color_masks=jax.device_put(fg.color_masks, rep),
+        cont_lo=jax.device_put(fg.cont_lo, rep),
+        cont_hi=jax.device_put(fg.cont_hi, rep),
+        cont_ipoints=jax.device_put(fg.cont_ipoints, rep),
+        cont_counts=jax.device_put(fg.cont_counts, rep),
+        disc_counts=jax.device_put(fg.disc_counts, rep),
+    )

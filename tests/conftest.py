@@ -1,12 +1,13 @@
 """Test harness config: force an 8-device virtual CPU mesh (SURVEY.md §5.3)
 so sharding/collective paths run in CI without TPU hardware.
 
-Must run before the first `import jax` anywhere in the test process.
+NOTE: this environment's jax build (axon TPU plugin) IGNORES the
+``JAX_PLATFORMS`` env var — ``jax.config.update("jax_platforms", ...)``
+must be used instead, before the backend is first initialized.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,5 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # persistent compile cache: repeat test runs skip XLA recompiles
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lhvi_jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lhvi_jax_cache_cpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
