@@ -1,0 +1,346 @@
+"""Expectation Particle Belief Propagation (reference
+``EPBPLogVersion.py`` parity; Lienart et al. 2015 — SURVEY.md §4.4; mount
+empty, semantics reconstructed).
+
+Log-space particle BP: every continuous variable carries a particle set
+drawn from an adaptive Gaussian proposal (moment-matched to its current
+belief each iteration); discrete variables enumerate their domains.
+Messages are tables over the *current* particle sets; a factor→variable
+update importance-weights the sum over neighbor particle tuples:
+
+  m_{f→v}(x) = logsumexp_{u_{-v}} [ log φ(x, u)
+               + Σ_{w≠v} (cavity_w(u_w) − log q_w(u_w)) ]
+
+TPU-first: the per-slot mixed grids (target slot at NEW particles, other
+slots at OLD particles) are evaluated as batched bucket tensors and reduced
+with reshape+logsumexp — the O(P^|f|) hot loop of SURVEY.md §4.4 becomes a
+handful of fused XLA reductions per bucket per iteration. Particle
+resampling is `jax.random` keyed, so runs are replayable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lhvi_tpu.fg.compile import CompiledFG, expand_params
+
+Array = jax.Array
+_NEG = -1e30
+
+
+class _BucketIdx(NamedTuple):
+    gvid: Array  # i32 [n_f, a] var row per slot (0 for observed)
+    lat: Array  # f32 [n_f, a]
+    is_cont: Array  # f32 [n_f, a] (1 for continuous slot)
+    const: Array  # f32 [n_f, a] observed-slot value
+    const_idx: Array  # i32 [n_f, a] observed-slot value index (discrete)
+    w_edge: Array  # f32 [n_f, a]
+
+
+def _index_buckets(fg: CompiledFG) -> List[_BucketIdx]:
+    out = []
+    counts = (
+        np.concatenate([np.asarray(fg.cont_counts), np.asarray(fg.disc_counts)])
+        if (fg.n_cont + fg.n_disc)
+        else np.ones(1)
+    )
+    for b in fg.buckets:
+        a = len(b.pattern)
+        n_f = b.n_factors
+        gvid = np.zeros((n_f, a), np.int64)
+        lat = np.zeros((n_f, a), np.float32)
+        isc = np.zeros((n_f, a), np.float32)
+        const = np.zeros((n_f, a), np.float32)
+        const_idx = np.zeros((n_f, a), np.int64)
+        ci = di = 0
+        for p, is_cont in enumerate(b.pattern):
+            if is_cont:
+                gvid[:, p] = np.asarray(b.cont_idx)[:, ci]
+                lat[:, p] = np.asarray(b.cont_mask)[:, ci]
+                isc[:, p] = 1.0
+                const[:, p] = np.asarray(b.cont_const)[:, ci]
+                ci += 1
+            else:
+                gvid[:, p] = fg.n_cont + np.asarray(b.disc_idx)[:, di]
+                lat[:, p] = np.asarray(b.disc_mask)[:, di]
+                const_idx[:, p] = np.asarray(b.disc_const)[:, di]
+                const[:, p] = np.take_along_axis(
+                    np.asarray(b.disc_vals)[:, di, :],
+                    const_idx[:, p : p + 1],
+                    axis=1,
+                )[:, 0]
+                di += 1
+        w_edge = np.asarray(b.scale)[:, None] / np.maximum(
+            counts[np.clip(gvid, 0, max(len(counts) - 1, 0))], 1.0
+        )
+        out.append(
+            _BucketIdx(
+                gvid=jnp.asarray(gvid.astype(np.int32)),
+                lat=jnp.asarray(lat),
+                is_cont=jnp.asarray(isc),
+                const=jnp.asarray(const),
+                const_idx=jnp.asarray(const_idx.astype(np.int32)),
+                w_edge=jnp.asarray(w_edge.astype(np.float32)),
+            )
+        )
+    return out
+
+
+def _eval_bucket_grid(b, bi: _BucketIdx, slot_vals, slot_idx, P: int):
+    """log φ over the product grid given per-slot support tables.
+
+    slot_vals: [n_f, a, P] values; slot_idx: i32 [n_f, a, P] value indices
+    (discrete slots). Returns [n_f, P, …, P] (a grid axes).
+    """
+    a = bi.gvid.shape[1]
+    n_f = bi.gvid.shape[0]
+    shape = (n_f,) + (P,) * a
+    xc_axes, xdi_axes, xdv_axes = [], [], []
+    for p, is_cont in enumerate(b.pattern):
+        bshape = [n_f] + [1] * a
+        bshape[1 + p] = P
+        vp = jnp.broadcast_to(slot_vals[:, p, :].reshape(bshape), shape)
+        if is_cont:
+            xc_axes.append(vp)
+        else:
+            ip = jnp.broadcast_to(slot_idx[:, p, :].reshape(bshape), shape)
+            xdi_axes.append(ip)
+            xdv_axes.append(vp)
+    xc = (
+        jnp.stack(xc_axes, -1) if xc_axes else jnp.zeros(shape + (0,), jnp.float32)
+    )
+    xdi = (
+        jnp.stack(xdi_axes, -1) if xdi_axes else jnp.zeros(shape + (0,), jnp.int32)
+    )
+    xdv = (
+        jnp.stack(xdv_axes, -1) if xdv_axes else jnp.zeros(shape + (0,), jnp.float32)
+    )
+    params = expand_params(b.params, a)
+    lp = b.kernel(params, xc, xdi, xdv)
+    return jnp.clip(jnp.nan_to_num(lp, neginf=_NEG), _NEG, None)
+
+
+@struct.dataclass
+class EPBPConfig:
+    n_particles: int = struct.field(pytree_node=False, default=32)
+    n_iters: int = struct.field(pytree_node=False, default=15)
+    q_var_floor: float = struct.field(pytree_node=False, default=1e-3)
+
+
+class EPBP:
+    """Engine facade mirroring the reference's ``EPBP(g).run(...)``."""
+
+    def __init__(self, fg: CompiledFG, cfg: EPBPConfig = EPBPConfig()):
+        if fg.max_v > cfg.n_particles:
+            raise ValueError("n_particles must be >= largest discrete domain")
+        self.fg = fg
+        self.cfg = cfg
+        self.bidx = _index_buckets(fg)
+        self.state = None
+
+    def run(self, key: Array, n_iters: int = None):
+        n_iters = n_iters or self.cfg.n_iters
+        out = _epbp_run(self.fg, tuple(self.bidx), key, self.cfg, n_iters)
+        self.sup, self.sup_idx, self.sup_mask, self.B, self.q_mu, self.q_var = (
+            np.asarray(o) for o in out
+        )
+        return self
+
+    # --- queries ----------------------------------------------------------
+    def _row(self, rv, want=None):
+        kind, i = self.fg.meta.loc(rv)
+        if kind == "obs":
+            raise ValueError(f"{rv} is observed (evidence); it has no posterior")
+        if want and kind != want:
+            raise ValueError(f"{rv} is {'continuous' if kind=='c' else 'discrete'}")
+        return kind, (i if kind == "c" else self.fg.n_cont + i), i
+
+    def _weights(self, row, kind):
+        # final beliefs are tabulated on a uniform dense grid (continuous)
+        # or the full domain (discrete): density ∝ exp(B)
+        lw = np.where(self.sup_mask[row] > 0, self.B[row], -np.inf)
+        lw -= lw.max()
+        w = np.exp(lw) * (self.sup_mask[row] > 0)
+        return w / w.sum()
+
+    def mean(self, rv) -> float:
+        kind, row, _ = self._row(rv, "c")
+        w = self._weights(row, kind)
+        return float(np.sum(w * self.sup[row]))
+
+    def var(self, rv) -> float:
+        kind, row, _ = self._row(rv, "c")
+        w = self._weights(row, kind)
+        m = np.sum(w * self.sup[row])
+        return float(np.sum(w * (self.sup[row] - m) ** 2))
+
+    def disc_marginal(self, rv):
+        kind, row, i = self._row(rv, "d")
+        w = self._weights(row, kind)
+        return w[: rv.domain.size]
+
+    def map(self, rv):
+        kind, row, _ = self._row(rv)
+        w = self._weights(row, kind)
+        if kind == "c":
+            return float(self.sup[row][int(np.argmax(w))])
+        return rv.domain.values[int(np.argmax(w[: rv.domain.size]))]
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_iters"))
+def _epbp_run(fg: CompiledFG, bidx, key, cfg: EPBPConfig, n_iters: int):
+    P = cfg.n_particles
+    n_var = max(fg.n_cont + fg.n_disc, 1)
+
+    # static support rows for discrete vars; proposal-driven for continuous
+    sup_idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (n_var, P))
+    dmask = (
+        jnp.arange(P)[None, :]
+        < jnp.concatenate(
+            [jnp.full(fg.n_cont, P, jnp.int32), fg.disc_sizes]
+        )[:n_var, None]
+    ).astype(jnp.float32)
+    disc_rows = jnp.zeros((max(fg.n_disc, 1), P))
+    if fg.n_disc:
+        disc_rows = jnp.pad(fg.disc_vals, ((0, 0), (0, P - fg.max_v)))
+
+    mid = 0.5 * (fg.cont_lo + fg.cont_hi)
+    q_mu0 = mid
+    q_var0 = jnp.ones(fg.n_cont) * jnp.minimum(
+        (fg.cont_hi - fg.cont_lo) / 4.0, 3.0
+    ) ** 2
+
+    msgs0 = tuple(
+        jnp.zeros((bi.gvid.shape[0], bi.gvid.shape[1], P)) for bi in bidx
+    )
+
+    def support_from(q_mu, q_var, kk):
+        eps = jax.random.normal(kk, (max(fg.n_cont, 1), P))
+        cont_rows = q_mu[:, None] + jnp.sqrt(q_var)[:, None] * eps[: fg.n_cont]
+        return jnp.concatenate(
+            [cont_rows[: fg.n_cont], disc_rows[: fg.n_disc]], axis=0
+        ) if n_var == fg.n_cont + fg.n_disc and (fg.n_cont or fg.n_disc) else (
+            jnp.zeros((n_var, P))
+        )
+
+    def slot_tables(bi, sup, which_new=None, sup_new=None):
+        """[n_f, a, P] slot values/indices from the support table; slot
+        ``which_new`` (if any) reads from ``sup_new`` instead."""
+        rows = sup[bi.gvid]  # [n_f, a, P]
+        if which_new is not None:
+            rows = rows.at[:, which_new, :].set(sup_new[bi.gvid[:, which_new]])
+        # observed slots: constant value at every position
+        vals = jnp.where(bi.lat[..., None] > 0, rows, bi.const[..., None])
+        idx = jnp.where(
+            bi.lat[..., None] > 0,
+            sup_idx[bi.gvid],
+            bi.const_idx[..., None],
+        )
+        return vals, idx
+
+    def log_q(sup, q_mu, q_var):
+        """Per-row log-proposal at support points (0 for discrete rows)."""
+        if fg.n_cont:
+            lq_c = -0.5 * (
+                (sup[: fg.n_cont] - q_mu[:, None]) ** 2 / q_var[:, None]
+                + jnp.log(2 * jnp.pi * q_var[:, None])
+            )
+        else:
+            lq_c = jnp.zeros((0, P))
+        return jnp.concatenate([lq_c, jnp.zeros((n_var - fg.n_cont, P))], 0)
+
+    def beliefs_of(msgs, bidx):
+        B = jnp.zeros((n_var, P))
+        for bi, m in zip(bidx, msgs):
+            B = B.at[bi.gvid].add(bi.w_edge[..., None] * m * bi.lat[..., None])
+        return B
+
+    def update_msgs(sup_old, msgs_old, lq_old, sup_new):
+        """One synchronous message update targeting ``sup_new`` points."""
+        B_old = beliefs_of(msgs_old, bidx)
+        new_msgs = []
+        for b, bi, m_old in zip(fg.buckets, bidx, msgs_old):
+            a = bi.gvid.shape[1]
+            cav = B_old[bi.gvid] - m_old  # [n_f, a, P] at OLD particles
+            cav = cav - bi.is_cont[..., None] * (
+                lq_old[bi.gvid] + jnp.log(1.0 * P)
+            )
+            cav = jnp.where(dmask[bi.gvid] > 0, cav, _NEG)
+            cav = jnp.where(bi.lat[..., None] > 0, cav, 0.0)
+
+            upd = []
+            for p in range(a):
+                vals, idx = slot_tables(bi, sup_old, which_new=p, sup_new=sup_new)
+                lp = _eval_bucket_grid(b, bi, vals, idx, P)
+                for q in range(a):
+                    if q == p:
+                        continue
+                    shape = [1] * lp.ndim
+                    shape[0] = lp.shape[0]
+                    shape[1 + q] = P
+                    lp = lp + cav[:, q, :].reshape(shape)
+                axes = tuple(1 + q for q in range(a) if q != p)
+                red = jax.scipy.special.logsumexp(lp, axis=axes) if axes else lp
+                upd.append(red)
+            m_new = jnp.stack(upd, 1)
+            m_new = m_new - jnp.max(
+                jnp.where(jnp.isfinite(m_new), m_new, -1e9), -1, keepdims=True
+            )
+            m_new = jnp.clip(jnp.nan_to_num(m_new, neginf=_NEG), _NEG, None)
+            new_msgs.append(m_new)
+        return tuple(new_msgs)
+
+    def one_iter(carry, kk):
+        sup_old, msgs_old, q_mu, q_var = carry
+        B_old = beliefs_of(msgs_old, bidx)
+        lq_old = log_q(sup_old, q_mu, q_var)
+
+        # refit proposals from current beliefs (importance moment matching)
+        if fg.n_cont:
+            lw = B_old[: fg.n_cont] - lq_old[: fg.n_cont]
+            lw = jnp.where(dmask[: fg.n_cont] > 0, lw, -jnp.inf)
+            lw = lw - jax.scipy.special.logsumexp(lw, 1, keepdims=True)
+            w = jnp.exp(lw)
+            m1 = jnp.sum(w * sup_old[: fg.n_cont], 1)
+            m2 = jnp.sum(w * (sup_old[: fg.n_cont] - m1[:, None]) ** 2, 1)
+            q_mu = m1
+            q_var = jnp.maximum(m2, cfg.q_var_floor)
+
+        sup_new = support_from(q_mu, q_var, kk)
+        # discrete rows keep their static values
+        sup_new = jnp.concatenate(
+            [sup_new[: fg.n_cont], sup_old[fg.n_cont :]], axis=0
+        )
+        new_msgs = update_msgs(sup_old, msgs_old, lq_old, sup_new)
+        return (sup_new, new_msgs, q_mu, q_var), None
+
+    k0, key = jax.random.split(key)
+    sup0 = support_from(q_mu0, q_var0, k0)
+    carry = (sup0, msgs0, q_mu0, q_var0)
+    carry, _ = jax.lax.scan(
+        one_iter, carry, jax.random.split(key, n_iters)
+    )
+    sup, msgs, q_mu, q_var = carry
+
+    # Rao-Blackwellized final pass: evaluate messages on a deterministic
+    # dense grid per continuous var (reference "probability(x, rv)" query
+    # parity) — kills most single-particle-set MC noise in the queries.
+    if fg.n_cont:
+        t = jnp.linspace(0.0, 1.0, P)[None, :]
+        span = 4.0 * jnp.sqrt(q_var)
+        lo = jnp.maximum(q_mu - span, fg.cont_lo)
+        hi = jnp.minimum(q_mu + span, fg.cont_hi)
+        grid_rows = lo[:, None] + (hi - lo)[:, None] * t
+        sup_grid = jnp.concatenate([grid_rows, sup[fg.n_cont :]], axis=0)
+    else:
+        sup_grid = sup
+    lq = log_q(sup, q_mu, q_var)
+    msgs_grid = update_msgs(sup, msgs, lq, sup_grid)
+    B = beliefs_of(msgs_grid, bidx)
+    return sup_grid, sup_idx, dmask, B, q_mu, q_var

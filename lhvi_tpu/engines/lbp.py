@@ -1,0 +1,311 @@
+"""Hybrid loopy belief propagation (reference ``HybridLBPLogVersion.py``
+parity, SURVEY.md §4.5; mount empty — behavioral reconstruction).
+
+Continuous domains are discretized at their ``Domain.integral_points``;
+messages are log-space tables over each variable's support. The TPU-first
+trick: each bucket's factor table ``log φ`` over the full support product
+grid is precomputed ONCE (static points), so an iteration is only
+
+  1. variable beliefs  = segment-sum of incoming messages      (scatter-add)
+  2. var→factor        = belief − incoming  (cavity)           (gather/sub)
+  3. factor→var slot p = logsumexp over all grid axes except p (reshape+reduce)
+
+— no Python edge loops, every op batched over the bucket's factor axis
+(SURVEY.md §4.5 "edge sweep becomes batched segment-reduce").
+
+Lifted mode: on a lifted IR the incoming-message sum weights each
+(factor-orbit, slot) message by ``scale_f / count_v`` — the per-ground-var
+edge multiplicity — which reduces to standard LBP when grounded
+(scale = count = 1). One message per cluster edge, as in the reference's
+lifted BP.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lhvi_tpu.fg.compile import CompiledFG, FactorBucket, expand_params
+
+Array = jax.Array
+_NEG = -1e30
+
+
+@struct.dataclass
+class LBPConfig:
+    n_iters: int = struct.field(pytree_node=False, default=30)
+    damping: float = struct.field(pytree_node=False, default=0.2)
+
+
+class _BucketTables(NamedTuple):
+    log_phi: Array  # [n_f, S_0, …, S_{a-1}] factor table over support grid
+    gvid: Array  # i32 [n_f, a] global var id per latent slot (0 if obs)
+    lat: Array  # f32 [n_f, a] 1 = latent slot
+    w_edge: Array  # f32 [n_f, a] lifted edge multiplicity scale_f/count_v
+
+
+def _support(fg: CompiledFG):
+    """Unified per-variable support table.
+
+    Returns (sup_vals f32[n_var, S], sup_mask f32[n_var, S]) with
+    continuous vars first (integral points) then discrete vars (domain
+    values); S = max support size.
+    """
+    P = fg.cont_ipoints.shape[1] if fg.n_cont else 1
+    V = fg.max_v
+    S = max(P, V, 1)
+    n_var = fg.n_cont + fg.n_disc
+    vals = np.zeros((max(n_var, 1), S), np.float32)
+    mask = np.zeros((max(n_var, 1), S), np.float32)
+    cip = np.asarray(fg.cont_ipoints)
+    dvals = np.asarray(fg.disc_vals)
+    dsz = np.asarray(fg.disc_sizes)
+    for i in range(fg.n_cont):
+        vals[i, :P] = cip[i]
+        mask[i, :P] = 1.0
+    for j in range(fg.n_disc):
+        vals[fg.n_cont + j, : dsz[j]] = dvals[j, : dsz[j]]
+        mask[fg.n_cont + j, : dsz[j]] = 1.0
+    return jnp.asarray(vals), jnp.asarray(mask)
+
+
+def _build_tables(fg: CompiledFG, sup_vals: Array, sup_mask: Array, S: int):
+    """Precompute per-bucket factor tables over the support product grid."""
+    tables: List[_BucketTables] = []
+    for b in fg.buckets:
+        a = len(b.pattern)
+        n_f = b.n_factors
+        # per-slot support values [n_f, a, S]
+        slot_vals = []
+        gvid = np.zeros((n_f, a), np.int64)
+        lat = np.zeros((n_f, a), np.float32)
+        ci = di = 0
+        cont_idx = np.asarray(b.cont_idx)
+        cont_mask = np.asarray(b.cont_mask)
+        cont_const = np.asarray(b.cont_const)
+        disc_idx = np.asarray(b.disc_idx)
+        disc_mask = np.asarray(b.disc_mask)
+        disc_const = np.asarray(b.disc_const)
+        disc_vals = np.asarray(b.disc_vals)
+        sup_np = np.asarray(sup_vals)
+        for p, is_cont in enumerate(b.pattern):
+            if is_cont:
+                v = np.where(
+                    cont_mask[:, ci, None] > 0,
+                    sup_np[np.clip(cont_idx[:, ci], 0, sup_np.shape[0] - 1)],
+                    cont_const[:, ci, None],
+                )
+                gvid[:, p] = cont_idx[:, ci]
+                lat[:, p] = cont_mask[:, ci]
+                ci += 1
+            else:
+                dv = np.zeros((n_f, S), np.float32)
+                dv[:, : disc_vals.shape[2]] = disc_vals[:, di, :]
+                const_v = np.take_along_axis(
+                    disc_vals[:, di, :], disc_const[:, di : di + 1], axis=1
+                )
+                v = np.where(disc_mask[:, di, None] > 0, dv, const_v)
+                gvid[:, p] = fg.n_cont + disc_idx[:, di]
+                lat[:, p] = disc_mask[:, di]
+                di += 1
+            slot_vals.append(v)
+
+        # evaluate log φ on the product grid via broadcasting
+        shape = (n_f,) + (S,) * a
+        xc_axes, xdi_axes, xdv_axes = [], [], []
+        ci = di = 0
+        for p, is_cont in enumerate(b.pattern):
+            bshape = [n_f] + [1] * a
+            bshape[1 + p] = S
+            vp = slot_vals[p].reshape(bshape)
+            if is_cont:
+                xc_axes.append(jnp.broadcast_to(jnp.asarray(vp), shape))
+                ci += 1
+            else:
+                idx_grid = np.broadcast_to(
+                    np.arange(S).reshape([1] * (1 + p) + [S] + [1] * (a - p - 1)),
+                    shape,
+                )
+                # observed slots: fixed value index
+                idx_grid = np.where(
+                    (disc_mask[:, di] > 0).reshape([n_f] + [1] * a),
+                    idx_grid,
+                    disc_const[:, di].reshape([n_f] + [1] * a),
+                )
+                xdi_axes.append(jnp.asarray(idx_grid, jnp.int32))
+                xdv_axes.append(jnp.broadcast_to(jnp.asarray(vp), shape))
+                di += 1
+
+        xc = (
+            jnp.stack(xc_axes, axis=-1)
+            if xc_axes
+            else jnp.zeros(shape + (0,), jnp.float32)
+        )
+        xdi = (
+            jnp.stack(xdi_axes, axis=-1)
+            if xdi_axes
+            else jnp.zeros(shape + (0,), jnp.int32)
+        )
+        xdv = (
+            jnp.stack(xdv_axes, axis=-1)
+            if xdv_axes
+            else jnp.zeros(shape + (0,), jnp.float32)
+        )
+        params = expand_params(b.params, a)
+        log_phi = b.kernel(params, xc, xdi, xdv)
+        log_phi = jnp.clip(jnp.nan_to_num(log_phi, neginf=_NEG), _NEG, None)
+
+        # mask invalid support positions of latent slots
+        counts = np.concatenate(
+            [np.asarray(fg.cont_counts), np.asarray(fg.disc_counts)]
+        ) if (fg.n_cont + fg.n_disc) else np.ones(1)
+        w_edge = np.asarray(b.scale)[:, None] / np.maximum(
+            counts[np.clip(gvid, 0, max(len(counts) - 1, 0))], 1.0
+        )
+        sup_mask_np = np.asarray(sup_mask)
+        for p in range(a):
+            m = np.where(
+                lat[:, p : p + 1] > 0,
+                sup_mask_np[np.clip(gvid[:, p], 0, sup_mask_np.shape[0] - 1)],
+                np.concatenate(
+                    [np.ones((n_f, 1)), np.zeros((n_f, S - 1))], axis=1
+                ),
+            )  # observed slot: only position 0 valid
+            bshape = [n_f] + [1] * a
+            bshape[1 + p] = S
+            log_phi = jnp.where(
+                jnp.asarray(m).reshape(bshape) > 0, log_phi, _NEG
+            )
+        tables.append(
+            _BucketTables(
+                log_phi=log_phi,
+                gvid=jnp.asarray(gvid.astype(np.int32)),
+                lat=jnp.asarray(lat),
+                w_edge=jnp.asarray(w_edge.astype(np.float32)),
+            )
+        )
+    return tables
+
+
+class HybridLBP:
+    """Engine facade: ``HybridLBP(fg).run(iters)`` then belief queries.
+
+    Works on grounded or lifted ``CompiledFG`` (one message per cluster
+    edge in the lifted case).
+    """
+
+    def __init__(self, fg: CompiledFG):
+        self.fg = fg
+        self.sup_vals, self.sup_mask = _support(fg)
+        self.S = int(self.sup_vals.shape[1])
+        self.tables = _build_tables(fg, self.sup_vals, self.sup_mask, self.S)
+        self.n_var = max(fg.n_cont + fg.n_disc, 1)
+        self.msgs = None  # list of [n_f, a, S] per bucket
+        self.beliefs_ = None
+
+    def run(self, n_iters: int = 30, damping: float = 0.2):
+        msgs = tuple(
+            jnp.zeros(t.log_phi.shape[:1] + t.gvid.shape[1:] + (self.S,))
+            for t in self.tables
+        )
+        msgs, beliefs = _lbp_iterate(
+            self.tables,
+            msgs,
+            self.sup_mask,
+            self.n_var,
+            n_iters,
+            damping,
+        )
+        self.msgs = msgs
+        self.beliefs_ = np.asarray(beliefs)
+        return self
+
+    # --- queries ----------------------------------------------------------
+    def _belief_row(self, rv):
+        kind, i = self.fg.meta.loc(rv)
+        if kind == "obs":
+            raise ValueError(f"{rv} is observed (evidence); it has no posterior")
+        row = i if kind == "c" else self.fg.n_cont + i
+        b = self.beliefs_[row]
+        mask = np.asarray(self.sup_mask)[row] > 0
+        logb = np.where(mask, b, -np.inf)
+        logb = logb - logb.max()
+        p = np.exp(logb) * mask
+        return p / p.sum(), np.asarray(self.sup_vals)[row], kind, i
+
+    def disc_marginal(self, rv):
+        p, vals, kind, i = self._belief_row(rv)
+        if kind != "d":
+            raise ValueError(f"{rv} is continuous")
+        return p[: rv.domain.size]
+
+    def mean(self, rv) -> float:
+        p, vals, kind, _ = self._belief_row(rv)
+        return float(np.sum(p * vals))
+
+    def var(self, rv) -> float:
+        p, vals, kind, _ = self._belief_row(rv)
+        m = np.sum(p * vals)
+        return float(np.sum(p * (vals - m) ** 2))
+
+    def map(self, rv):
+        p, vals, kind, _ = self._belief_row(rv)
+        return float(vals[int(np.argmax(p))]) if kind == "c" else (
+            rv.domain.values[int(np.argmax(p[: rv.domain.size]))]
+        )
+
+
+@partial(jax.jit, static_argnames=("n_var", "n_iters", "damping"))
+def _lbp_iterate(tables, msgs, sup_mask, n_var: int, n_iters: int,
+                 damping: float):
+    def beliefs_of(msgs):
+        B = jnp.zeros((n_var, sup_mask.shape[1]))
+        for t, m in zip(tables, msgs):
+            contrib = t.w_edge[..., None] * m * t.lat[..., None]
+            B = B.at[t.gvid].add(contrib)
+        return B
+
+    def one_iter(msgs, _):
+        B = beliefs_of(msgs)
+        new_msgs = []
+        for t, m in zip(tables, msgs):
+            a = t.gvid.shape[1]
+            # var→factor: cavity = belief − this edge's message
+            m_vf = B[t.gvid] - m  # [n_f, a, S]
+            m_vf = jnp.where(t.lat[..., None] > 0, m_vf, 0.0)
+            # normalize for stability
+            m_vf = m_vf - jnp.max(
+                jnp.where(jnp.isfinite(m_vf), m_vf, -1e9), -1, keepdims=True
+            )
+            # factor→var per slot: add all other slots' m_vf onto the grid,
+            # reduce every axis but the slot's
+            upd = []
+            for p in range(a):
+                g = t.log_phi
+                for q in range(a):
+                    if q == p:
+                        continue
+                    shape = [1] * g.ndim
+                    shape[0] = g.shape[0]
+                    shape[1 + q] = g.shape[1 + q]
+                    g = g + m_vf[:, q, :].reshape(shape)
+                axes = tuple(1 + q for q in range(a) if q != p)
+                upd.append(
+                    jax.scipy.special.logsumexp(g, axis=axes) if axes else g
+                )
+            m_new = jnp.stack(upd, axis=1)  # [n_f, a, S]
+            m_new = m_new - jnp.max(
+                jnp.where(jnp.isfinite(m_new), m_new, -1e9), -1, keepdims=True
+            )
+            m_new = jnp.clip(jnp.nan_to_num(m_new, neginf=_NEG), _NEG, None)
+            m_new = damping * m + (1.0 - damping) * m_new
+            new_msgs.append(m_new)
+        return tuple(new_msgs), None
+
+    msgs, _ = jax.lax.scan(one_iter, msgs, None, length=n_iters)
+    return msgs, beliefs_of(msgs)
