@@ -23,10 +23,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lhvi_jax_cache")
 import numpy as np
 
 
-N_CHAINS = 1024
+N_CHAINS = 65536
 N_LEAPFROG = 8
 STEP = 0.12
-N_ITERS_TPU = 200
+N_ITERS_TPU = 100
 N_ITERS_NP = 6
 
 
@@ -71,6 +71,10 @@ def numpy_baseline(g, iters=N_ITERS_NP, chains=8):
 
 def tpu_throughput(g):
     import jax
+
+    # rbg PRNG: ~2x sampler throughput on TPU vs threefry (same statistics)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from lhvi_tpu import compile_graph
     from lhvi_tpu.engines import hmc
 
@@ -78,18 +82,19 @@ def tpu_throughput(g):
     cfg = hmc.HMCConfig(n_leapfrog=N_LEAPFROG, init_step_size=STEP)
 
     def run(key, n_samples):
-        s_xc, _, diag = hmc.run_hmc(
+        moments, _, diag = hmc.run_hmc(
             fg, key, cfg,
             n_chains=N_CHAINS, n_warmup=0, n_samples=n_samples,
+            collect="moments",
         )
-        return s_xc[-1], diag
+        return moments, diag
 
     # warm-up / compile
-    out, diag = run(jax.random.PRNGKey(0), 10)
-    out.block_until_ready()
+    out, diag = run(jax.random.PRNGKey(0), 5)
+    out["mean"].block_until_ready()
     t0 = time.perf_counter()
     out, diag = run(jax.random.PRNGKey(1), N_ITERS_TPU)
-    out.block_until_ready()
+    out["mean"].block_until_ready()
     dt = time.perf_counter() - t0
     return N_CHAINS * N_ITERS_TPU / dt, diag
 

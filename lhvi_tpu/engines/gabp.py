@@ -42,46 +42,23 @@ def information_form(g: Graph) -> Tuple[np.ndarray, np.ndarray, list]:
 
     Raises TypeError on non-Gaussian-quadratic potentials.
     """
+    from lhvi_tpu.fg.quad import accumulate_information_form
+
     g.init_nb()
     latents = [rv for rv in g.rvs if not rv.observed]
     if any(not rv.domain.continuous for rv in latents):
         raise TypeError("GaBP requires all latent variables continuous")
     loc = {id(rv): i for i, rv in enumerate(latents)}
-    n = len(latents)
-    J = np.zeros((n, n))
-    h = np.zeros(n)
 
-    for f in g.factors:
-        Jp, hp = _local_quadratic(f.potential, len(f.nb))
-        idx = [loc.get(id(rv), -1) for rv in f.nb]  # -1 = observed
-        vals = [0.0 if i >= 0 else float(rv.value) for i, rv in zip(idx, f.nb)]
-        for a, ia in enumerate(idx):
-            if ia < 0:
-                continue
-            h[ia] += hp[a]
-            for b, ib in enumerate(idx):
-                if ib >= 0:
-                    J[ia, ib] += Jp[a, b]
-                else:  # condition on evidence: move cross term to h
-                    h[ia] -= Jp[a, b] * vals[b]
+    class _Shim:
+        def loc(self, rv):
+            return ("c", loc[id(rv)]) if id(rv) in loc else ("obs", -1)
+
+    try:
+        J, h, _ = accumulate_information_form(g.factors, _Shim(), len(latents))
+    except TypeError as e:
+        raise TypeError(f"GaBP cannot handle this model: {e}") from e
     return J, h, latents
-
-
-def _local_quadratic(p, arity: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-factor (Jp, hp) with log φ = −½ xᵀJp x + hpᵀ x + const."""
-    if isinstance(p, GaussianPotential):
-        prec = np.asarray(p.prec, np.float64)
-        return prec, prec @ np.asarray(p.mu, np.float64)
-    if isinstance(p, LinearGaussianPotential):
-        a, v = float(p.coeff), float(p.sig)
-        return np.array([[a * a / v, -a / v], [-a / v, 1.0 / v]]), np.zeros(2)
-    if isinstance(p, QuadraticPotential):
-        A = np.asarray(p.A, np.float64)
-        return -(A + A.T), np.asarray(p.b, np.float64)
-    if isinstance(p, XYPotential):
-        c = float(p.coeff) / float(p.sig)
-        return np.array([[0.0, -c], [-c, 0.0]]), np.zeros(2)
-    raise TypeError(f"GaBP cannot handle potential type {type(p).__name__}")
 
 
 def dense_gaussian_marginals(g: Graph):

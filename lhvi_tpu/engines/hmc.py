@@ -99,6 +99,39 @@ def _hmc_chain_step(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps, inv_mass):
     return xc, jnp.exp(log_acc)
 
 
+def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
+                      inv_mass):
+    """One HMC proposal for ALL chains at once.
+
+    On purely-quadratic continuous targets this routes through the fused
+    Pallas leapfrog (one MXU matmul per step, state resident in VMEM);
+    otherwise it falls back to the vmapped autodiff leapfrog.
+    """
+    if not fg.cont_pure_quad:
+        keys = jax.random.split(key, xc.shape[0])
+        return jax.vmap(
+            lambda k, a, b: _hmc_chain_step(fg, cfg, k, a, b, eps, inv_mass)
+        )(keys, xc, xd)
+
+    from lhvi_tpu.ops.leapfrog import quad_leapfrog
+
+    C = xc.shape[0]
+    k_mom, k_acc = jax.random.split(key)
+    std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
+    p0 = std[None, :] * jax.random.normal(k_mom, xc.shape)
+    x1, p1 = quad_leapfrog(
+        xc, p0, fg.quad_J, fg.quad_h, inv_mass, eps, cfg.n_leapfrog
+    )
+    ke = lambda p: 0.5 * jnp.sum(inv_mass[None, :] * p * p, axis=-1)
+    h0 = -fg.quad_log_prob_batched(xc) + ke(p0)
+    h1 = -fg.quad_log_prob_batched(x1) + ke(p1)
+    log_acc = jnp.minimum(0.0, h0 - h1)
+    log_acc = jnp.where(jnp.isfinite(log_acc), log_acc, -jnp.inf)
+    accept = jnp.log(jax.random.uniform(k_acc, (C,))) < log_acc
+    xc = jnp.where(accept[:, None], x1, xc)
+    return xc, jnp.exp(log_acc)
+
+
 def _da_update(state: HMCState, accept_mean, cfg: HMCConfig):
     """Nesterov dual averaging on log step size (Hoffman–Gelman 2014)."""
     gamma, t0, kappa = 0.05, 10.0, 0.75
@@ -128,7 +161,8 @@ def _welford_update(state: HMCState, xc):
     return state._replace(welford_mean=mean, welford_m2=m2, welford_n=n_new)
 
 
-@partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples", "thin"))
+@partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples",
+                                   "thin", "collect"))
 def run_hmc(
     fg: CompiledFG,
     key: Array,
@@ -137,9 +171,16 @@ def run_hmc(
     n_warmup: int = 500,
     n_samples: int = 1000,
     thin: int = 1,
+    collect: str = "samples",
 ):
-    """Run the sampler; returns (samples_xc [S,C,n_cont], samples_xd [S,C,n_disc],
-    diagnostics dict)."""
+    """Run the sampler.
+
+    collect="samples": returns (samples_xc [S,C,n_cont], samples_xd
+    [S,C,n_disc], diag). collect="moments": streams sufficient statistics
+    on-device instead of materializing the sample array (the production
+    mode for large runs — avoids S·C·n HBM traffic and host transfer);
+    returns (moments dict, None, diag).
+    """
     k_init, k_warm, k_samp = jax.random.split(key, 3)
     xc, xd = jax.vmap(fg.init_state)(
         jax.random.split(k_init, n_chains), jnp.full(n_chains, cfg.jitter)
@@ -171,10 +212,9 @@ def run_hmc(
         k_g, k_h = jax.random.split(key)
         xd = sweep_all(k_g, state.xc, state.xd)
         eps = jnp.exp(state.log_eps)
-        keys = jax.random.split(k_h, state.xc.shape[0])
-        xc, acc = jax.vmap(
-            lambda k, a, b: _hmc_chain_step(fg, cfg, k, a, b, eps, state.inv_mass)
-        )(keys, state.xc, xd)
+        xc, acc = _hmc_step_batched(
+            fg, cfg, k_h, state.xc, xd, eps, state.inv_mass
+        )
         state = state._replace(xc=xc, xd=xd)
         state = _da_update(state, jnp.mean(acc), cfg)
         state = _welford_update(state, xc)
@@ -211,12 +251,45 @@ def run_hmc(
         k_g, k_h = jax.random.split(key)
         xd = sweep_all(k_g, state.xc, state.xd)
         eps = jnp.exp(state.log_eps)
-        keys = jax.random.split(k_h, state.xc.shape[0])
-        xc, acc = jax.vmap(
-            lambda k, a, b: _hmc_chain_step(fg, cfg, k, a, b, eps, state.inv_mass)
-        )(keys, state.xc, xd)
+        xc, acc = _hmc_step_batched(
+            fg, cfg, k_h, state.xc, xd, eps, state.inv_mass
+        )
         state = state._replace(xc=xc, xd=xd)
         return state, (xc, xd, jnp.mean(acc))
+
+    if collect == "moments":
+        def moment_step(carry, key):
+            state, s1, s2, cnt = carry
+            state, (xc, xd, acc) = sample_step(state, key)
+            s1 = s1 + jnp.sum(xc, axis=0)
+            s2 = s2 + jnp.sum(xc * xc, axis=0)
+            if fg.n_disc:
+                oh = jax.nn.one_hot(xd, fg.max_v, dtype=jnp.float32)
+                cnt = cnt + jnp.sum(oh, axis=0)
+            return (state, s1, s2, cnt), acc
+
+        z1 = jnp.zeros(fg.n_cont)
+        z2 = jnp.zeros(fg.n_cont)
+        zc = jnp.zeros((max(fg.n_disc, 1), fg.max_v))
+        (state, s1, s2, cnt), accs = jax.lax.scan(
+            moment_step, (state, z1, z2, zc),
+            jax.random.split(k_samp, n_samples),
+        )
+        n_obs = n_samples * n_chains
+        mean = s1 / n_obs
+        var = jnp.maximum(s2 / n_obs - mean**2, 0.0)
+        moments = {
+            "mean": mean,
+            "var": var,
+            "disc_probs": cnt / n_obs,
+            "n_obs": n_obs,
+        }
+        diag = {
+            "accept_rate": jnp.mean(accs),
+            "step_size": jnp.exp(state.log_eps),
+            "inv_mass": state.inv_mass,
+        }
+        return moments, None, diag
 
     state, (s_xc, s_xd, accs) = jax.lax.scan(
         sample_step, state, jax.random.split(k_samp, n_samples * thin)
@@ -275,8 +348,47 @@ class HMCResult:
         return rv.domain.values[int(probs.argmax())]
 
 
-def sample(fg: CompiledFG, key, **kw) -> HMCResult:
+class HMCMoments:
+    """Query wrapper over streamed sufficient statistics (collect="moments")."""
+
+    def __init__(self, fg: CompiledFG, moments, diag):
+        import numpy as np
+
+        self.fg = fg
+        self.moments = {k: np.asarray(v) for k, v in moments.items()}
+        self.diag = {k: np.asarray(v) for k, v in diag.items()}
+
+    def _loc(self, rv, want):
+        kind, i = self.fg.meta.loc(rv)
+        if kind == "obs":
+            raise ValueError(f"{rv} is observed (evidence); it has no posterior")
+        if kind != want:
+            raise ValueError(f"{rv} is {'continuous' if kind == 'c' else 'discrete'}")
+        return i
+
+    def mean(self, rv) -> float:
+        return float(self.moments["mean"][self._loc(rv, "c")])
+
+    def var(self, rv) -> float:
+        return float(self.moments["var"][self._loc(rv, "c")])
+
+    def disc_marginal(self, rv):
+        i = self._loc(rv, "d")
+        return self.moments["disc_probs"][i, : rv.domain.size]
+
+    def map(self, rv):
+        kind, _ = self.fg.meta.loc(rv)
+        if kind == "c":
+            return self.mean(rv)
+        p = self.disc_marginal(rv)
+        return rv.domain.values[int(p.argmax())]
+
+
+def sample(fg: CompiledFG, key, **kw):
     """Convenience wrapper: run and wrap results for RV-level queries."""
     cfg = kw.pop("cfg", HMCConfig())
+    if kw.get("collect") == "moments":
+        moments, _, diag = run_hmc(fg, key, cfg, **kw)
+        return HMCMoments(fg, moments, diag)
     s_xc, s_xd, diag = run_hmc(fg, key, cfg, **kw)
     return HMCResult(fg, s_xc, s_xd, diag)

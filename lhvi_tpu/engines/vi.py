@@ -208,11 +208,28 @@ def mixture_entropy_bound(fg: CompiledFG, params: VIParams, bd: Array) -> Array:
     return -jnp.sum(w * inner)
 
 
+def _quad_expected(fg: CompiledFG, params: VIParams) -> Array:
+    """Closed-form Σ_k w_k E_{b_k}[−½xJx + hx + c] for the fused quadratic
+    information form: E[xJx] = μᵀJμ + Σ_i J_ii σ_i² under mean-field."""
+    w = jax.nn.softmax(params.log_w)
+    mu = params.mu  # [K, n]
+    s2 = jnp.exp(2.0 * params.log_sigma)
+    quad = jnp.einsum("ki,ij,kj->k", mu, fg.quad_J, mu) + jnp.einsum(
+        "i,ki->k", jnp.diagonal(fg.quad_J), s2
+    )
+    lin = mu @ fg.quad_h
+    return jnp.sum(w * (-0.5 * quad + lin + fg.quad_c))
+
+
 def elbo(fg: CompiledFG, params: VIParams, n_quad: int) -> Array:
     bd = beliefs_disc(fg, params)
     total = mixture_entropy_bound(fg, params, bd)
-    for b in fg.buckets:
-        total = total + _bucket_expected_logpot(fg, b, params, bd, n_quad)
+    if fg.has_quad:
+        total = total + _quad_expected(fg, params)
+    for i in fg.lp_bucket_idx:
+        total = total + _bucket_expected_logpot(
+            fg, fg.buckets[i], params, bd, n_quad
+        )
     return total
 
 

@@ -141,13 +141,23 @@ def expand_params(params: Dict[str, Array], n_axes: int) -> Dict[str, Array]:
 
 @struct.dataclass
 class CompiledFG:
-    """Compiled factor graph: the array IR all engines consume."""
+    """Compiled factor graph: the array IR all engines consume.
+
+    Quadratic fusion (MXU fast path): buckets whose log-potentials are
+    quadratic in all-continuous arguments are additionally folded into the
+    information form ``(quad_J, quad_h, quad_c)``; ``log_prob`` evaluates
+    them as one matmul and skips those buckets (``lp_bucket_idx`` lists the
+    survivors). ``buckets`` always holds EVERY factor — message-passing
+    engines (LBP/EPBP) need per-factor structure and ignore the fusion.
+    """
 
     buckets: Tuple[FactorBucket, ...]
     n_cont: int = struct.field(pytree_node=False)
     n_disc: int = struct.field(pytree_node=False)
     max_v: int = struct.field(pytree_node=False)
     n_colors: int = struct.field(pytree_node=False)
+    has_quad: bool = struct.field(pytree_node=False)
+    lp_bucket_idx: Tuple[int, ...] = struct.field(pytree_node=False)
     meta: FGMeta = struct.field(pytree_node=False)
     disc_sizes: Array  # i32 [n_disc]
     disc_vals: Array  # f32 [n_disc, Vmax] per-var index->value
@@ -157,12 +167,37 @@ class CompiledFG:
     cont_ipoints: Array  # f32 [n_cont, P] integral/discretization sites
     cont_counts: Array  # f32 [n_cont] lifted orbit sizes (1 = grounded)
     disc_counts: Array  # f32 [n_disc]
+    quad_J: Array  # f32 [n_cont, n_cont] fused information matrix (or [0,0])
+    quad_h: Array  # f32 [n_cont]
+    quad_c: Array  # f32 scalar
 
     # ------------------------------------------------------------------
+    @property
+    def cont_pure_quad(self) -> bool:
+        """True if the continuous energy is ENTIRELY the fused quadratic
+        form (every surviving bucket ignores xc) — enables the Pallas
+        fused-leapfrog fast path."""
+        return self.has_quad and all(
+            self.buckets[i].ac == 0 for i in self.lp_bucket_idx
+        )
+
+    def quad_log_prob_batched(self, xc: Array) -> Array:
+        """Batched continuous energy of the fused form: [C, n] → [C]."""
+        return (
+            self.quad_c
+            + xc @ self.quad_h
+            - 0.5 * jnp.einsum("ci,ij,cj->c", xc, self.quad_J, xc)
+        )
+
     def log_prob(self, xc: Array, xd: Array) -> Array:
         """Unnormalized log p(x) = Σ_f scale_f · log φ_f. Jit/vmap friendly."""
         total = jnp.zeros((), jnp.float32)
-        for b in self.buckets:
+        if self.has_quad:
+            total = total + self.quad_c + xc @ (
+                self.quad_h - 0.5 * (self.quad_J @ xc)
+            )
+        for i in self.lp_bucket_idx:
+            b = self.buckets[i]
             params, xcs, xdi, xdv = b.gather_args(xc, xd)
             lp = b.kernel(params, xcs, xdi, xdv)
             total = total + jnp.sum(b.scale * lp)
@@ -234,6 +269,8 @@ def compile_graph(
     n_disc_override: int = None,
     cont_counts: np.ndarray = None,
     disc_counts: np.ndarray = None,
+    fuse_quadratic: bool = True,
+    quad_max_n: int = 4096,
 ) -> CompiledFG:
     """Compile a host ``Graph`` into the array IR.
 
@@ -310,8 +347,23 @@ def compile_graph(
         key = (f.potential.bucket_key(), pattern, latency)
         buckets_raw.setdefault(key, []).append(f)
 
+    # --- quadratic fusion decision per bucket ---------------------------
+    from lhvi_tpu.fg.quad import QUADRATIC_TYPES, accumulate_information_form
+
+    do_fuse = fuse_quadratic and 0 < n_cont <= quad_max_n
+    fused_flags: List[bool] = []
+    fused_factors: List[F] = []
+
     buckets: List[FactorBucket] = []
     for (bkey, pattern, latency), fs in buckets_raw.items():
+        fusible = (
+            do_fuse
+            and isinstance(fs[0].potential, QUADRATIC_TYPES)
+            and all(pattern)
+        )
+        fused_flags.append(fusible)
+        if fusible:
+            fused_factors.extend(fs)
         ac = sum(pattern)
         ad = len(pattern) - ac
         n_raw = len(fs)
@@ -400,12 +452,31 @@ def compile_graph(
         disc_counts = np.ones(n_disc, np.float32)
     meta.cont_counts, meta.disc_counts = cont_counts, disc_counts
 
+    # --- fold fused buckets into the information form -------------------
+    has_quad = bool(fused_factors)
+    if has_quad:
+        J, h, c = accumulate_information_form(
+            fused_factors, meta, n_cont, scales=scales
+        )
+        quad_J = jnp.asarray(J, jnp.float32)
+        quad_h = jnp.asarray(h, jnp.float32)
+        quad_c = jnp.asarray(c, jnp.float32)
+    else:
+        quad_J = jnp.zeros((0, 0))
+        quad_h = jnp.zeros((0,))
+        quad_c = jnp.zeros(())
+    lp_bucket_idx = tuple(
+        i for i, fused in enumerate(fused_flags) if not fused
+    )
+
     return CompiledFG(
         buckets=tuple(buckets),
         n_cont=n_cont,
         n_disc=n_disc,
         max_v=max_v,
         n_colors=n_colors,
+        has_quad=has_quad,
+        lp_bucket_idx=lp_bucket_idx,
         meta=meta,
         disc_sizes=jnp.asarray(disc_sizes),
         disc_vals=jnp.asarray(disc_vals),
@@ -415,6 +486,9 @@ def compile_graph(
         cont_ipoints=jnp.asarray(cont_ip),
         cont_counts=jnp.asarray(cont_counts),
         disc_counts=jnp.asarray(disc_counts),
+        quad_J=quad_J,
+        quad_h=quad_h,
+        quad_c=quad_c,
     )
 
 

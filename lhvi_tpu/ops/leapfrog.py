@@ -1,0 +1,145 @@
+"""Pallas fused leapfrog for quadratic (information-form) targets.
+
+SURVEY.md §9 stage 7 / BASELINE north-star "Pallas leapfrog kernels": when a
+model's continuous part is fully fused into ``(J, h)`` (``CompiledFG.quad``),
+the leapfrog gradient is ``h − xJ`` and the whole n-step integration for a
+tile of chains runs inside ONE kernel — positions/momenta stay in VMEM, J
+stays resident, each step is a single [BC,n]×[n,n] MXU matmul + VPU
+updates. This removes 2·n_steps HBM round-trips of the state per proposal
+versus the XLA op-by-op path.
+
+Numerics: the merged half-kick formulation used here composes to exactly
+the same map as the naive two-half-kicks-per-step integrator (f32
+throughout), so acceptance statistics are unchanged.
+
+Falls back to a pure-jnp implementation off-TPU (CPU test meshes) and for
+non-quadratic models (autodiff leapfrog in ``engines.hmc``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _jnp_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps: int):
+    """Reference/fallback implementation (batched, merged half-kicks)."""
+
+    def grad(x):
+        return h - x @ J
+
+    p = p + 0.5 * eps * grad(x)
+
+    def body(i, xp):
+        x, p = xp
+        x = x + eps * inv_mass * p
+        g = grad(x)
+        last = i == n_steps - 1
+        p = p + jnp.where(last, 0.5, 1.0) * eps * g
+        return (x, p)
+
+    x, p = jax.lax.fori_loop(0, n_steps, body, (x, p))
+    return x, p
+
+
+def _leapfrog_kernel(eps_ref, x_ref, p_ref, J_ref, h_ref, im_ref,
+                     xo_ref, po_ref, *, n_steps: int):
+    x = x_ref[:]
+    p = p_ref[:]
+    J = J_ref[:]
+    h = h_ref[:]
+    im = im_ref[:]
+    eps = eps_ref[0]
+
+    def grad(x):
+        return h - jnp.dot(x, J, preferred_element_type=jnp.float32)
+
+    p = p + 0.5 * eps * grad(x)
+
+    def body(i, xp):
+        x, p = xp
+        x = x + eps * im * p
+        g = grad(x)
+        scale = jnp.where(i == n_steps - 1, 0.5, 1.0)
+        p = p + scale * eps * g
+        return (x, p)
+
+    x, p = jax.lax.fori_loop(0, n_steps, body, (x, p))
+    xo_ref[:] = x
+    po_ref[:] = p
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "block_chains"))
+def _pallas_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps: int,
+                          block_chains: int = 256):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, n = x.shape
+    n_pad = _round_up(max(n, 1), _LANE)
+    c_pad = _round_up(max(C, 1), 8)
+    bc = min(block_chains, c_pad)
+    c_pad = _round_up(c_pad, bc)
+
+    xp_ = jnp.zeros((c_pad, n_pad), x.dtype).at[:C, :n].set(x)
+    pp_ = jnp.zeros((c_pad, n_pad), p.dtype).at[:C, :n].set(p)
+    Jp_ = jnp.zeros((n_pad, n_pad), J.dtype).at[:n, :n].set(J)
+    hp_ = jnp.zeros((1, n_pad), h.dtype).at[0, :n].set(h)
+    imp = jnp.zeros((1, n_pad), inv_mass.dtype).at[0, :n].set(inv_mass)
+    eps_arr = jnp.asarray([eps], jnp.float32)
+
+    grid = (c_pad // bc,)
+    kernel = functools.partial(_leapfrog_kernel, n_steps=n_steps)
+    xo, po = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bc, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bc, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad, n_pad), x.dtype),
+            jax.ShapeDtypeStruct((c_pad, n_pad), p.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c_pad * n_pad * n_pad * (n_steps + 1),
+            bytes_accessed=4 * (2 * c_pad * n_pad + n_pad * n_pad),
+            transcendentals=0,
+        ),
+    )(eps_arr, xp_, pp_, Jp_, hp_, imp)
+    return xo[:C, :n], po[:C, :n]
+
+
+def quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps: int):
+    """Batched leapfrog on the fused quadratic target.
+
+    x, p: [C, n]; J: [n, n]; h, inv_mass: [n]; eps: scalar (traced ok).
+    Uses the Pallas kernel on TPU, jnp fallback elsewhere.
+    """
+    if jax.default_backend() == "tpu":
+        return _pallas_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps)
+    return _jnp_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps)

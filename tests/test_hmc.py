@@ -55,3 +55,37 @@ def test_hmc_pure_continuous_gaussian():
     assert abs(res.mean(b) + 2.0) < 0.12
     assert abs(res.var(a) - 1.0) / 1.0 < 0.15
     assert abs(res.var(b) - 2.0) / 2.0 < 0.15
+
+
+def test_hmc_moments_collection_matches_exact():
+    """collect="moments" streams sufficient statistics on-device; results
+    must match the exact posterior like the sample-collection path (also
+    exercises the fused-quadratic leapfrog fallback on CPU)."""
+    from lhvi_tpu.engines import gabp
+    from lhvi_tpu.models.toy import gaussian_grid
+
+    g, _ = gaussian_grid(5, 5, seed=4, evidence_frac=0.2)
+    oracle, latents = gabp.dense_gaussian_marginals(g)
+    fg = compile_graph(g)
+    assert fg.cont_pure_quad
+    res = hmc.sample(
+        fg, jax.random.PRNGKey(3), n_chains=64, n_warmup=400,
+        n_samples=800, collect="moments",
+    )
+    errs = [abs(res.mean(rv) - oracle[id(rv)][0]) for rv in latents]
+    vrel = [abs(res.var(rv) - oracle[id(rv)][1]) / oracle[id(rv)][1]
+            for rv in latents]
+    assert np.mean(errs) < 0.08, np.mean(errs)
+    assert np.mean(vrel) < 0.2, np.mean(vrel)
+
+
+def test_hmc_moments_hybrid():
+    g, (d, x1, x2) = hybrid_chain()
+    exact = ExactPosterior(g, cont_grid=161)
+    fg = compile_graph(g)
+    res = hmc.sample(
+        fg, jax.random.PRNGKey(4), n_chains=32, n_warmup=400,
+        n_samples=1500, collect="moments",
+    )
+    assert abs(res.mean(x1) - exact.mean(x1)) < 0.1
+    assert np.abs(res.disc_marginal(d) - exact.disc_marginal(d)).max() < 0.05
