@@ -29,13 +29,25 @@ from lhvi_tpu.fg.compile import CompiledFG, compile_graph
 from lhvi_tpu.fg.graph import Graph
 
 
-def color_refine(g: Graph, max_rounds: int = 10_000) -> Tuple[Dict, Dict]:
+def color_refine(g: Graph, max_rounds: int = 10_000,
+                 backend: str = "auto") -> Tuple[Dict, Dict]:
     """Run color passing to fixpoint.
 
     Returns ``(rv_color, f_color)``: dicts keyed by ``id(obj)`` with
     hashable color labels (ints after canonicalization).
+
+    ``backend``: "auto" uses the native C++ core (``lhvi_tpu.native``) for
+    graphs with ≥ 20k edges, falling back to Python; "native"/"python"
+    force a choice. Both produce identical partitions.
     """
     g.init_nb()
+    n_edges = sum(len(f.nb) for f in g.factors)
+    if backend == "native" or (backend == "auto" and n_edges >= 20_000):
+        out = _color_refine_native(g, max_rounds)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native fastlift library unavailable")
     rvc: Dict[int, int] = {}
     fc: Dict[int, int] = {}
 
@@ -80,6 +92,68 @@ def color_refine(g: Graph, max_rounds: int = 10_000) -> Tuple[Dict, Dict]:
         if (n_rv2, n_f2) == (n_rv, n_f):
             break
         n_rv, n_f = n_rv2, n_f2
+    return rvc, fc
+
+
+def _color_refine_native(g: Graph, max_rounds: int):
+    """Array-ify the graph and run the C++ refinement core."""
+    import ctypes
+
+    from lhvi_tpu.native import load_fastlift
+
+    lib = load_fastlift()
+    if lib is None:
+        return None
+
+    rvs = g.rvs
+    rv_pos = {id(rv): i for i, rv in enumerate(rvs)}
+    n_rv, n_f = len(rvs), len(g.factors)
+
+    f_off = np.zeros(n_f + 1, np.int64)
+    args = []
+    f_sym = np.zeros(n_f, np.uint8)
+    for i, f in enumerate(g.factors):
+        f_off[i + 1] = f_off[i] + len(f.nb)
+        args.extend(rv_pos[id(rv)] for rv in f.nb)
+        f_sym[i] = 1 if getattr(f.potential, "symmetric", False) else 0
+    f_rvs = np.asarray(args, np.int32)
+
+    # initial colors: same keys as the Python path, canonicalized to ints
+    def canon(keys):
+        lut = {}
+        return np.asarray(
+            [lut.setdefault(k, len(lut)) for k in keys], np.int32
+        )
+
+    rv_color = canon(
+        [
+            (
+                rv.domain.continuous,
+                rv.domain.values,
+                ("obs", rv.value) if rv.observed else ("lat",),
+            )
+            for rv in rvs
+        ]
+    )
+    f_color = canon([f.potential.color_key() for f in g.factors])
+
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    rounds = lib.lhvi_color_refine(
+        n_rv,
+        n_f,
+        f_off.ctypes.data_as(p_i64),
+        f_rvs.ctypes.data_as(p_i32),
+        f_sym.ctypes.data_as(p_u8),
+        rv_color.ctypes.data_as(p_i32),
+        f_color.ctypes.data_as(p_i32),
+        max_rounds,
+    )
+    if rounds < 0:
+        return None
+    rvc = {id(rv): int(rv_color[i]) for i, rv in enumerate(rvs)}
+    fc = {id(f): int(f_color[i]) for i, f in enumerate(g.factors)}
     return rvc, fc
 
 
