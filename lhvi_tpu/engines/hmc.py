@@ -162,7 +162,7 @@ def _welford_update(state: HMCState, xc):
 
 
 @partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples",
-                                   "thin", "collect"))
+                                   "thin", "collect", "shard"))
 def run_hmc(
     fg: CompiledFG,
     key: Array,
@@ -172,6 +172,7 @@ def run_hmc(
     n_samples: int = 1000,
     thin: int = 1,
     collect: str = "samples",
+    shard=None,
 ):
     """Run the sampler.
 
@@ -180,11 +181,20 @@ def run_hmc(
     on-device instead of materializing the sample array (the production
     mode for large runs — avoids S·C·n HBM traffic and host transfer);
     returns (moments dict, None, diag).
+
+    shard: optional ``NamedSharding`` for the chains axis (e.g. from
+    ``lhvi_tpu.parallel.chain_sharding``) — the whole scan then runs with
+    chain state distributed over the mesh; reductions (mean accept,
+    Welford, streamed moments) become cross-device collectives inserted
+    by XLA.
     """
     k_init, k_warm, k_samp = jax.random.split(key, 3)
     xc, xd = jax.vmap(fg.init_state)(
         jax.random.split(k_init, n_chains), jnp.full(n_chains, cfg.jitter)
     )
+    if shard is not None:
+        xc = jax.lax.with_sharding_constraint(xc, shard)
+        xd = jax.lax.with_sharding_constraint(xd, shard)
 
     state = HMCState(
         xc=xc,

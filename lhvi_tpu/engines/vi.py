@@ -180,14 +180,24 @@ def _bucket_expected_logpot(
 
 
 def mixture_entropy_bound(fg: CompiledFG, params: VIParams, bd: Array) -> Array:
-    """Jensen lower bound on the mixture entropy via component overlaps.
+    """Lower bound on the mixture entropy: the max of two valid bounds.
 
-    H(q) ≥ −Σ_k w_k log Σ_l w_l z_kl,  z_kl = ∫ q_k q_l, with per-variable
-    overlap terms weighted by lifted orbit counts. All f32.
+    (a) Jensen pairwise-overlap bound (the reference OSI's H̃):
+        H(q) ≥ −Σ_k w_k log Σ_l w_l z_kl,  z_kl = ∫ q_k q_l.
+        Tight for well-separated components, but degrades to Rényi-2
+        entropy when components coincide (noticeably loose for discrete
+        marginals even at K=1).
+    (b) Conditional-entropy bound: H(q) ≥ Σ_k w_k H(q_k) — exact at K=1
+        and for identical components.
+
+    Both hold for every parameter value, so their pointwise maximum is a
+    valid (and tighter) bound. Per-variable terms are weighted by lifted
+    orbit counts; everything stays f32 (SURVEY.md §9 hard part (b)).
     """
     w = jax.nn.softmax(params.log_w)
     log_w = jax.nn.log_softmax(params.log_w)
 
+    # --- (a) pairwise-overlap Jensen bound ------------------------------
     log_z = jnp.zeros((params.mu.shape[0], params.mu.shape[0]))
     if fg.n_cont:
         mu_k = params.mu[:, None, :]  # [K, 1, n]
@@ -203,9 +213,23 @@ def mixture_entropy_bound(fg: CompiledFG, params: VIParams, bd: Array) -> Array:
         ov = jnp.sum(bd[:, None] * bd[None, :], axis=-1)  # [K, K, n_disc]
         log_ov = jnp.log(jnp.maximum(ov, 1e-30))
         log_z = log_z + jnp.sum(fg.disc_counts[None, None, :] * log_ov, axis=-1)
-
     inner = jax.scipy.special.logsumexp(log_w[None, :] + log_z, axis=1)  # [K]
-    return -jnp.sum(w * inner)
+    h_jensen = -jnp.sum(w * inner)
+
+    # --- (b) conditional-entropy bound ----------------------------------
+    h_comp = jnp.zeros(params.mu.shape[0])
+    if fg.n_cont:
+        h_gauss = params.log_sigma + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e)
+        h_comp = h_comp + jnp.sum(fg.cont_counts[None, :] * h_gauss, axis=-1)
+    if fg.n_disc:
+        h_cat = -jnp.sum(
+            jnp.where(bd > 0, bd * jnp.log(jnp.maximum(bd, 1e-30)), 0.0),
+            axis=-1,
+        )  # [K, n_disc]
+        h_comp = h_comp + jnp.sum(fg.disc_counts[None, :] * h_cat, axis=-1)
+    h_cond = jnp.sum(w * h_comp)
+
+    return jnp.maximum(h_jensen, h_cond)
 
 
 def _quad_expected(fg: CompiledFG, params: VIParams) -> Array:
