@@ -66,9 +66,12 @@ def main():
     )
     log.log("lifted_vi", elbo=float(res_vi.trace[-1]),
             wall_s=round(time.perf_counter() - t0, 2))
-    smoker = index[("cancer", ("p0",))]
-    log.log("query", rv="cancer(p0)",
-            marginal=res_vi.disc_marginal(smoker).round(4))
+    # p1 observes smokes=1 (evidence is i%2), so cancer(p1) ≈ σ(w) ≈ 0.77;
+    # p0 observes smokes=0, leaving cancer(p0) unconstrained at 0.5
+    for who in ("p1", "p0"):
+        rv = index[("cancer", (who,))]
+        log.log("query", rv=f"cancer({who})",
+                marginal=res_vi.disc_marginal(rv).round(4))
 
     # ---- 3+4. grounded sharded HMC + scaling harness ----------------------
     t0 = time.perf_counter()
@@ -76,7 +79,10 @@ def main():
     log.log("compile_grounded", wall_s=round(time.perf_counter() - t0, 2),
             n_cont=fg.n_cont, n_disc=fg.n_disc)
 
-    hcfg = hmc.HMCConfig(n_leapfrog=6, init_step_size=0.1)
+    # cap Gibbs cost per iteration: dense MLN conflict graphs need ~n_people
+    # colors; rotate through 8 per sweep (random-scan kernel)
+    hcfg = hmc.HMCConfig(n_leapfrog=6, init_step_size=0.1,
+                         gibbs_max_colors=8)
 
     def measure(shard, n_chains, tag):
         kw = dict(n_chains=n_chains, n_warmup=0, n_samples=8,

@@ -67,7 +67,7 @@ class PodConfig(EngineConfig):
 
     n_people: int = 320
     evidence_people: int = 16
-    n_chains: int = 1024
+    n_chains: int = 64  # per chip; scale via the dp mesh axis
     collect: str = "moments"
 
 

@@ -45,12 +45,15 @@ class _BucketIdx(NamedTuple):
 
 def _index_buckets(fg: CompiledFG) -> List[_BucketIdx]:
     out = []
+    # host mirrors only — device readbacks are pathologically slow on
+    # tunneled-TPU environments (see FGMeta.np_buckets)
     counts = (
-        np.concatenate([np.asarray(fg.cont_counts), np.asarray(fg.disc_counts)])
+        np.concatenate([fg.meta.np_global["cont_counts"],
+                        fg.meta.np_global["disc_counts"]])
         if (fg.n_cont + fg.n_disc)
         else np.ones(1)
     )
-    for b in fg.buckets:
+    for b, np_b in zip(fg.buckets, fg.meta.np_buckets):
         a = len(b.pattern)
         n_f = b.n_factors
         gvid = np.zeros((n_f, a), np.int64)
@@ -61,22 +64,22 @@ def _index_buckets(fg: CompiledFG) -> List[_BucketIdx]:
         ci = di = 0
         for p, is_cont in enumerate(b.pattern):
             if is_cont:
-                gvid[:, p] = np.asarray(b.cont_idx)[:, ci]
-                lat[:, p] = np.asarray(b.cont_mask)[:, ci]
+                gvid[:, p] = np_b["cont_idx"][:, ci]
+                lat[:, p] = np_b["cont_mask"][:, ci]
                 isc[:, p] = 1.0
-                const[:, p] = np.asarray(b.cont_const)[:, ci]
+                const[:, p] = np_b["cont_const"][:, ci]
                 ci += 1
             else:
-                gvid[:, p] = fg.n_cont + np.asarray(b.disc_idx)[:, di]
-                lat[:, p] = np.asarray(b.disc_mask)[:, di]
-                const_idx[:, p] = np.asarray(b.disc_const)[:, di]
+                gvid[:, p] = fg.n_cont + np_b["disc_idx"][:, di]
+                lat[:, p] = np_b["disc_mask"][:, di]
+                const_idx[:, p] = np_b["disc_const"][:, di]
                 const[:, p] = np.take_along_axis(
-                    np.asarray(b.disc_vals)[:, di, :],
+                    np_b["disc_vals"][:, di, :],
                     const_idx[:, p : p + 1],
                     axis=1,
                 )[:, 0]
                 di += 1
-        w_edge = np.asarray(b.scale)[:, None] / np.maximum(
+        w_edge = np_b["scale"][:, None] / np.maximum(
             counts[np.clip(gvid, 0, max(len(counts) - 1, 0))], 1.0
         )
         out.append(

@@ -5,7 +5,7 @@ sampler of this family): continuous latents move by Hamiltonian Monte Carlo
 (leapfrog + Metropolis correction, dual-averaging step-size adaptation,
 diagonal mass-matrix adaptation); discrete latents move by chromatic
 parallel Gibbs using the compiler's precomputed conflict coloring
-(``CompiledFG.color_masks``) — all colors' conditionals are evaluated as one
+(``CompiledFG.color_of``) — all colors' conditionals are evaluated as one
 batched pass per color, so a sweep costs ``n_colors`` fused bucket
 evaluations regardless of variable count.
 
@@ -34,6 +34,7 @@ class HMCConfig:
     init_step_size: float = struct.field(pytree_node=False, default=0.1)
     target_accept: float = struct.field(pytree_node=False, default=0.8)
     gibbs_sweeps: int = struct.field(pytree_node=False, default=1)
+    gibbs_max_colors: int = struct.field(pytree_node=False, default=0)
     adapt_mass: bool = struct.field(pytree_node=False, default=True)
     jitter: float = struct.field(pytree_node=False, default=1.0)
 
@@ -65,20 +66,36 @@ def _leapfrog(logp, xc, p, eps, inv_mass, n_steps):
     return jax.lax.fori_loop(0, n_steps, body, (xc, p))
 
 
-def gibbs_sweep(fg: CompiledFG, key: Array, xc: Array, xd: Array) -> Array:
-    """One chromatic-Gibbs sweep over all discrete latents of one chain."""
+def gibbs_sweep(fg: CompiledFG, key: Array, xc: Array, xd: Array,
+                max_colors: int = 0) -> Array:
+    """Chromatic-Gibbs sweep over the discrete latents of one chain.
+
+    ``max_colors > 0`` processes only that many color classes per sweep,
+    starting at a random rotation — a random-scan Gibbs kernel that caps
+    the per-iteration cost on graphs whose conflict graph needs many
+    colors (dense MLNs can need O(n) of them) while every variable is
+    still updated with its exact full conditional when its color comes up.
+    """
     if fg.n_disc == 0:
         return xd
 
     def color_step(xd, inp):
-        k, mask = inp
+        k, c = inp
         logits = fg.disc_logits(xc, xd)  # [n_disc, V]
         new = jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
-        xd = jnp.where(mask > 0, new, xd)
+        xd = jnp.where(fg.color_of == c, new, xd)
         return xd, None
 
-    keys = jax.random.split(key, fg.n_colors)
-    xd, _ = jax.lax.scan(color_step, xd, (keys, fg.color_masks))
+    n = fg.n_colors
+    if 0 < max_colors < n:
+        k_rot, key = jax.random.split(key)
+        off = jax.random.randint(k_rot, (), 0, n)
+        n = max_colors
+    else:
+        off = jnp.zeros((), jnp.int32)
+    colors = (jnp.arange(n, dtype=jnp.int32) + off) % fg.n_colors
+    keys = jax.random.split(key, n)
+    xd, _ = jax.lax.scan(color_step, xd, (keys, colors))
     return xd
 
 
@@ -213,9 +230,9 @@ def run_hmc(
         for _ in range(cfg.gibbs_sweeps):
             keys = jax.random.split(key, xc.shape[0] + 1)
             key = keys[0]
-            xd = jax.vmap(lambda k, a, b: gibbs_sweep(fg, k, a, b))(
-                keys[1:], xc, xd
-            )
+            xd = jax.vmap(
+                lambda k, a, b: gibbs_sweep(fg, k, a, b, cfg.gibbs_max_colors)
+            )(keys[1:], xc, xd)
         return xd
 
     def warmup_step(state: HMCState, key):

@@ -62,22 +62,24 @@ def _support(fg: CompiledFG):
     n_var = fg.n_cont + fg.n_disc
     vals = np.zeros((max(n_var, 1), S), np.float32)
     mask = np.zeros((max(n_var, 1), S), np.float32)
-    cip = np.asarray(fg.cont_ipoints)
-    dvals = np.asarray(fg.disc_vals)
-    dsz = np.asarray(fg.disc_sizes)
+    # host mirrors — device readback is pathologically slow on tunneled TPUs
+    cip = fg.meta.np_global["cont_ipoints"]
+    dvals = fg.meta.np_global["disc_vals"]
+    dsz = fg.meta.np_global["disc_sizes"]
     for i in range(fg.n_cont):
         vals[i, :P] = cip[i]
         mask[i, :P] = 1.0
     for j in range(fg.n_disc):
         vals[fg.n_cont + j, : dsz[j]] = dvals[j, : dsz[j]]
         mask[fg.n_cont + j, : dsz[j]] = 1.0
-    return jnp.asarray(vals), jnp.asarray(mask)
+    return vals, mask  # numpy (host side); callers convert as needed
 
 
-def _build_tables(fg: CompiledFG, sup_vals: Array, sup_mask: Array, S: int):
+def _build_tables(fg: CompiledFG, sup_vals_np: np.ndarray,
+                  sup_mask_np: np.ndarray, S: int):
     """Precompute per-bucket factor tables over the support product grid."""
     tables: List[_BucketTables] = []
-    for b in fg.buckets:
+    for b, np_b in zip(fg.buckets, fg.meta.np_buckets):
         a = len(b.pattern)
         n_f = b.n_factors
         # per-slot support values [n_f, a, S]
@@ -85,14 +87,14 @@ def _build_tables(fg: CompiledFG, sup_vals: Array, sup_mask: Array, S: int):
         gvid = np.zeros((n_f, a), np.int64)
         lat = np.zeros((n_f, a), np.float32)
         ci = di = 0
-        cont_idx = np.asarray(b.cont_idx)
-        cont_mask = np.asarray(b.cont_mask)
-        cont_const = np.asarray(b.cont_const)
-        disc_idx = np.asarray(b.disc_idx)
-        disc_mask = np.asarray(b.disc_mask)
-        disc_const = np.asarray(b.disc_const)
-        disc_vals = np.asarray(b.disc_vals)
-        sup_np = np.asarray(sup_vals)
+        cont_idx = np_b["cont_idx"]
+        cont_mask = np_b["cont_mask"]
+        cont_const = np_b["cont_const"]
+        disc_idx = np_b["disc_idx"]
+        disc_mask = np_b["disc_mask"]
+        disc_const = np_b["disc_const"]
+        disc_vals = np_b["disc_vals"]
+        sup_np = sup_vals_np  # host mirror
         for p, is_cont in enumerate(b.pattern):
             if is_cont:
                 v = np.where(
@@ -162,12 +164,11 @@ def _build_tables(fg: CompiledFG, sup_vals: Array, sup_mask: Array, S: int):
 
         # mask invalid support positions of latent slots
         counts = np.concatenate(
-            [np.asarray(fg.cont_counts), np.asarray(fg.disc_counts)]
+            [fg.meta.np_global["cont_counts"], fg.meta.np_global["disc_counts"]]
         ) if (fg.n_cont + fg.n_disc) else np.ones(1)
-        w_edge = np.asarray(b.scale)[:, None] / np.maximum(
+        w_edge = np_b["scale"][:, None] / np.maximum(
             counts[np.clip(gvid, 0, max(len(counts) - 1, 0))], 1.0
         )
-        sup_mask_np = np.asarray(sup_mask)
         for p in range(a):
             m = np.where(
                 lat[:, p : p + 1] > 0,
@@ -201,9 +202,12 @@ class HybridLBP:
 
     def __init__(self, fg: CompiledFG):
         self.fg = fg
-        self.sup_vals, self.sup_mask = _support(fg)
-        self.S = int(self.sup_vals.shape[1])
-        self.tables = _build_tables(fg, self.sup_vals, self.sup_mask, self.S)
+        sup_vals_np, sup_mask_np = _support(fg)
+        self.sup_vals = jnp.asarray(sup_vals_np)
+        self.sup_mask = jnp.asarray(sup_mask_np)
+        self.sup_vals_np, self.sup_mask_np = sup_vals_np, sup_mask_np
+        self.S = int(sup_vals_np.shape[1])
+        self.tables = _build_tables(fg, sup_vals_np, sup_mask_np, self.S)
         self.n_var = max(fg.n_cont + fg.n_disc, 1)
         self.msgs = None  # list of [n_f, a, S] per bucket
         self.beliefs_ = None
@@ -232,11 +236,11 @@ class HybridLBP:
             raise ValueError(f"{rv} is observed (evidence); it has no posterior")
         row = i if kind == "c" else self.fg.n_cont + i
         b = self.beliefs_[row]
-        mask = np.asarray(self.sup_mask)[row] > 0
+        mask = self.sup_mask_np[row] > 0
         logb = np.where(mask, b, -np.inf)
         logb = logb - logb.max()
         p = np.exp(logb) * mask
-        return p / p.sum(), np.asarray(self.sup_vals)[row], kind, i
+        return p / p.sum(), self.sup_vals_np[row], kind, i
 
     def disc_marginal(self, rv):
         p, vals, kind, i = self._belief_row(rv)

@@ -159,17 +159,16 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig()):
             if fg.n_disc:
                 def gibbs_one(kg_i, xc_i, xd_i):
                     def color_step(xd_i, cinp):
-                        kk, mask = cinp
+                        kk, c = cinp
                         logits = beta * fg.disc_logits(xc_i, xd_i)
                         new = jax.random.categorical(kk, logits, -1).astype(
                             jnp.int32
                         )
-                        return jnp.where(mask > 0, new, xd_i), None
+                        return jnp.where(fg.color_of == c, new, xd_i), None
 
                     ks = jax.random.split(kg_i, fg.n_colors)
-                    out, _ = jax.lax.scan(
-                        color_step, xd_i, (ks, fg.color_masks)
-                    )
+                    colors = jnp.arange(fg.n_colors, dtype=jnp.int32)
+                    out, _ = jax.lax.scan(color_step, xd_i, (ks, colors))
                     return out
 
                 xd = jax.vmap(gibbs_one)(jax.random.split(kg, N), xc, xd)

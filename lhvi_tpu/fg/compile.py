@@ -38,7 +38,13 @@ _NEG_BIG = -1e30
 
 class FGMeta:
     """Host-side metadata: RV ↔ flat-index maps (hash by identity so it can
-    ride in a static pytree field)."""
+    ride in a static pytree field).
+
+    ``np_buckets``/``np_global`` mirror the compiled index arrays in host
+    numpy. Engine SETUP code (LBP/EPBP table builders, Gibbs plan) must
+    read these instead of ``np.asarray(bucket.xxx)`` — a device→host
+    readback costs minutes the first time on tunneled-TPU environments.
+    """
 
     def __init__(self):
         self.cont_rvs: List[RV] = []
@@ -48,6 +54,8 @@ class FGMeta:
         self.cont_counts: np.ndarray = None  # lifted orbit sizes (None=grounded)
         self.disc_counts: np.ndarray = None
         self.orbit_of: Dict[int, int] = None  # id(ground rv) -> orbit var idx
+        self.np_buckets: List[Dict[str, np.ndarray]] = []
+        self.np_global: Dict[str, np.ndarray] = {}
 
     def loc(self, rv: RV) -> Tuple[str, int]:
         """('c'|'d'|'obs', flat index) of an RV in the compiled state."""
@@ -140,6 +148,24 @@ def expand_params(params: Dict[str, Array], n_axes: int) -> Dict[str, Array]:
 
 
 @struct.dataclass
+class GibbsGather:
+    """Compile-time gather plan for discrete full-conditional logits.
+
+    Scatter-adds into ``[n_disc, V]`` lower to one-hot matmuls on TPU
+    (O(C·n_f·n_disc) intermediates — OOM at pod scale), so the Gibbs
+    logits are assembled by GATHER instead: every (bucket, slot, factor)
+    contribution gets a static flat row id; variables are grouped by
+    incidence degree with per-group index tables into the flat
+    contribution array (row F_tot = zero padding); a static permutation
+    maps group-concatenated results back to variable order.
+    """
+
+    degrees: Tuple[int, ...] = struct.field(pytree_node=False)
+    idx: Tuple[Array, ...]  # per group i32 [m_g, d_g] into flat rows
+    pos_of_var: Array  # i32 [n_disc] var -> row in concat(group outputs)
+
+
+@struct.dataclass
 class CompiledFG:
     """Compiled factor graph: the array IR all engines consume.
 
@@ -161,7 +187,7 @@ class CompiledFG:
     meta: FGMeta = struct.field(pytree_node=False)
     disc_sizes: Array  # i32 [n_disc]
     disc_vals: Array  # f32 [n_disc, Vmax] per-var index->value
-    color_masks: Array  # f32 [n_colors, n_disc] chromatic Gibbs schedule
+    color_of: Array  # i32 [n_disc] chromatic-Gibbs color id per latent
     cont_lo: Array  # f32 [n_cont] domain bounds
     cont_hi: Array  # f32 [n_cont]
     cont_ipoints: Array  # f32 [n_cont, P] integral/discretization sites
@@ -170,6 +196,7 @@ class CompiledFG:
     quad_J: Array  # f32 [n_cont, n_cont] fused information matrix (or [0,0])
     quad_h: Array  # f32 [n_cont]
     quad_c: Array  # f32 scalar
+    gibbs: GibbsGather
 
     # ------------------------------------------------------------------
     @property
@@ -214,11 +241,14 @@ class CompiledFG:
         candidate value v, Σ over factors adjacent to d of
         ``scale · log φ`` with slot d forced to v (other slots at current
         state). Invalid candidate slots carry ``-1e30``. One fused pass per
-        bucket×slot — the chromatic-Gibbs inner kernel.
+        bucket×slot, assembled scatter-free via the precomputed
+        ``GibbsGather`` plan — the chromatic-Gibbs inner kernel.
         """
         V = self.max_v
-        logits = jnp.zeros((max(self.n_disc, 1), V), jnp.float32)
+        if self.n_disc == 0:
+            return jnp.zeros((0, V))
         cand = jnp.arange(V, dtype=jnp.int32)
+        rows = []
         for b in self.buckets:
             if b.ad == 0:
                 continue
@@ -231,10 +261,17 @@ class CompiledFG:
                 xdv_p = b.slot_values(xdi_p)
                 lp = b.kernel(params, xcs_b, xdi_p, xdv_p)  # [n_f, V]
                 w = b.scale * b.disc_mask[:, p]  # latent slots only
-                contrib = jnp.nan_to_num(lp, neginf=_NEG_BIG) * w[:, None]
-                logits = logits.at[b.disc_idx[:, p]].add(contrib)
+                rows.append(jnp.nan_to_num(lp, neginf=_NEG_BIG) * w[:, None])
+        if not rows:
+            return jnp.full((self.n_disc, V), _NEG_BIG)
+        flat = jnp.concatenate(rows + [jnp.zeros((1, V))], axis=0)
+        parts = [
+            jnp.sum(flat[idx_g], axis=1)  # [m_g, d_g, V] -> [m_g, V]
+            for idx_g in self.gibbs.idx
+        ]
+        logits = jnp.concatenate(parts, axis=0)[self.gibbs.pos_of_var]
         valid = cand[None, :] < self.disc_sizes[:, None]
-        return jnp.where(valid, logits[: self.n_disc], _NEG_BIG)
+        return jnp.where(valid, logits, _NEG_BIG)
 
     def init_state(self, key: Array, jitter: float = 0.1):
         """A (xc, xd) state: continuous at domain midpoint + jitter,
@@ -417,6 +454,20 @@ def compile_graph(
         kernel = fs[0].potential.kernel(pattern)
         cont_lat = tuple(l for l, c in zip(latency, pattern) if c)
         disc_lat = tuple(l for l, c in zip(latency, pattern) if not c)
+        np_b = {
+            "cont_idx": pad(c_idx),
+            "cont_mask": (pad(c_mask) * (scale_p > 0)[:, None]
+                          if ac else pad(c_mask)),
+            "cont_const": pad(c_const),
+            "disc_idx": pad(d_idx),
+            "disc_mask": (pad(d_mask) * (scale_p > 0)[:, None]
+                          if ad else pad(d_mask)),
+            "disc_const": pad(d_const),
+            "disc_vals": pad(d_vals),
+            "disc_size": pad(d_size),
+            "scale": scale_p,
+        }
+        meta.np_buckets.append(np_b)
         buckets.append(
             FactorBucket(
                 kind=str(bkey),
@@ -425,26 +476,21 @@ def compile_graph(
                 disc_lat=disc_lat,
                 kernel=kernel,
                 params={k: jnp.asarray(v) for k, v in params.items()},
-                cont_idx=jnp.asarray(pad(c_idx)),
-                cont_mask=jnp.asarray(pad(c_mask) * (scale_p > 0)[:, None]
-                                      if ac else pad(c_mask)),
-                cont_const=jnp.asarray(pad(c_const)),
-                disc_idx=jnp.asarray(pad(d_idx)),
-                disc_mask=jnp.asarray(pad(d_mask) * (scale_p > 0)[:, None]
-                                      if ad else pad(d_mask)),
-                disc_const=jnp.asarray(pad(d_const)),
-                disc_vals=jnp.asarray(pad(d_vals)),
-                disc_size=jnp.asarray(pad(d_size)),
-                scale=jnp.asarray(scale_p),
+                cont_idx=jnp.asarray(np_b["cont_idx"]),
+                cont_mask=jnp.asarray(np_b["cont_mask"]),
+                cont_const=jnp.asarray(np_b["cont_const"]),
+                disc_idx=jnp.asarray(np_b["disc_idx"]),
+                disc_mask=jnp.asarray(np_b["disc_mask"]),
+                disc_const=jnp.asarray(np_b["disc_const"]),
+                disc_vals=jnp.asarray(np_b["disc_vals"]),
+                disc_size=jnp.asarray(np_b["disc_size"]),
+                scale=jnp.asarray(np_b["scale"]),
             )
         )
 
     # --- chromatic Gibbs schedule ---------------------------------------
-    color_of = _greedy_color(g, meta, n_disc)
+    color_of = _greedy_color(g, meta, n_disc).astype(np.int32)
     n_colors = int(color_of.max() + 1) if n_disc else 1
-    color_masks = np.zeros((n_colors, n_disc), np.float32)
-    for i, c in enumerate(color_of):
-        color_masks[c, i] = 1.0
 
     if cont_counts is None:
         cont_counts = np.ones(n_cont, np.float32)
@@ -469,6 +515,18 @@ def compile_graph(
         i for i, fused in enumerate(fused_flags) if not fused
     )
 
+    gibbs = _build_gibbs_gather(meta.np_buckets, n_disc)
+    meta.np_global = {
+        "disc_sizes": disc_sizes,
+        "disc_vals": disc_vals,
+        "color_of": color_of,
+        "cont_lo": cont_lo,
+        "cont_hi": cont_hi,
+        "cont_ipoints": cont_ip,
+        "cont_counts": np.asarray(cont_counts, np.float32),
+        "disc_counts": np.asarray(disc_counts, np.float32),
+    }
+
     return CompiledFG(
         buckets=tuple(buckets),
         n_cont=n_cont,
@@ -480,7 +538,7 @@ def compile_graph(
         meta=meta,
         disc_sizes=jnp.asarray(disc_sizes),
         disc_vals=jnp.asarray(disc_vals),
-        color_masks=jnp.asarray(color_masks),
+        color_of=jnp.asarray(color_of),
         cont_lo=jnp.asarray(cont_lo),
         cont_hi=jnp.asarray(cont_hi),
         cont_ipoints=jnp.asarray(cont_ip),
@@ -489,6 +547,78 @@ def compile_graph(
         quad_J=quad_J,
         quad_h=quad_h,
         quad_c=quad_c,
+        gibbs=gibbs,
+    )
+
+
+def _build_gibbs_gather(np_buckets: List[Dict[str, np.ndarray]],
+                        n_disc: int) -> GibbsGather:
+    """Build the scatter-free Gibbs plan (see ``GibbsGather``) from the
+    host-side numpy mirrors (never from device arrays — see ``FGMeta``).
+
+    Flat row order must match ``disc_logits``'s emission order: buckets in
+    order (skipping ad==0), slot-major, factor-minor.
+    """
+    all_vars: List[np.ndarray] = []
+    all_rows: List[np.ndarray] = []
+    off = 0
+    for b in np_buckets:
+        ad = b["disc_idx"].shape[1]
+        if ad == 0:
+            continue
+        disc_idx = b["disc_idx"]
+        disc_mask = b["disc_mask"]
+        n_f = disc_idx.shape[0]
+        for p in range(ad):
+            valid = disc_mask[:, p] > 0
+            all_rows.append(off + np.nonzero(valid)[0].astype(np.int64))
+            all_vars.append(disc_idx[valid, p].astype(np.int64))
+            off += n_f
+    f_tot = off  # zero-padding row id
+
+    if n_disc == 0 or not all_vars:
+        return GibbsGather(
+            degrees=(),
+            idx=(),
+            pos_of_var=jnp.zeros(max(n_disc, 0), jnp.int32),
+        )
+
+    vars_cat = np.concatenate(all_vars)
+    rows_cat = np.concatenate(all_rows)
+    order = np.argsort(vars_cat, kind="stable")
+    rows_sorted = rows_cat[order]
+    deg = np.bincount(vars_cat, minlength=n_disc)
+    starts = np.concatenate([[0], np.cumsum(deg)])
+
+    def pad_deg(d: int) -> int:  # limit distinct group shapes
+        if d <= 1:
+            return 1
+        p = 1
+        while p < d:
+            p *= 2
+        return p
+
+    group_vars: Dict[int, List[int]] = {}
+    for v in range(n_disc):
+        group_vars.setdefault(pad_deg(int(deg[v])), []).append(v)
+
+    degrees, idx_arrays = [], []
+    pos_of_var = np.zeros(n_disc, np.int64)
+    pos = 0
+    for d in sorted(group_vars):
+        vs = group_vars[d]
+        idx = np.full((len(vs), d), f_tot, np.int64)
+        for r, v in enumerate(vs):
+            k = int(deg[v])
+            idx[r, :k] = rows_sorted[starts[v] : starts[v] + k]
+            pos_of_var[v] = pos
+            pos += 1
+        degrees.append(d)
+        idx_arrays.append(jnp.asarray(idx.astype(np.int32)))
+    return GibbsGather(
+        degrees=tuple(degrees),
+        idx=tuple(idx_arrays),
+        pos_of_var=jnp.asarray(pos_of_var.astype(np.int32)),
     )
 
 

@@ -93,7 +93,7 @@ def shard_fg_factors(fg: CompiledFG, mesh: Mesh, axis: str = "tp") -> CompiledFG
         buckets=tuple(place_bucket(b) for b in fg.buckets),
         disc_sizes=jax.device_put(fg.disc_sizes, rep),
         disc_vals=jax.device_put(fg.disc_vals, rep),
-        color_masks=jax.device_put(fg.color_masks, rep),
+        color_of=jax.device_put(fg.color_of, rep),
         cont_lo=jax.device_put(fg.cont_lo, rep),
         cont_hi=jax.device_put(fg.cont_hi, rep),
         cont_ipoints=jax.device_put(fg.cont_ipoints, rep),

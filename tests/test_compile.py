@@ -133,6 +133,7 @@ def test_padding_invariance():
 def test_chromatic_coloring_valid():
     g, _ = hybrid_chain()
     fg = compile_graph(g)
-    # each discrete latent appears in exactly one color
-    cm = np.asarray(fg.color_masks)
-    assert np.allclose(cm.sum(0), 1.0)
+    # every discrete latent has a valid color id
+    co = np.asarray(fg.color_of)
+    assert co.shape == (fg.n_disc,)
+    assert (co >= 0).all() and (co < fg.n_colors).all()
