@@ -206,9 +206,7 @@ def run_hmc(
     by XLA.
     """
     k_init, k_warm, k_samp = jax.random.split(key, 3)
-    xc, xd = jax.vmap(fg.init_state)(
-        jax.random.split(k_init, n_chains), jnp.full(n_chains, cfg.jitter)
-    )
+    xc, xd = fg.init_state_batched(k_init, n_chains, cfg.jitter)
     if shard is not None:
         xc = jax.lax.with_sharding_constraint(xc, shard)
         xd = jax.lax.with_sharding_constraint(xd, shard)

@@ -40,9 +40,7 @@ class MWSConfig:
 def run_mws(fg: CompiledFG, key: Array, cfg: MWSConfig = MWSConfig()):
     W = cfg.n_walkers
     k_init, k_run = jax.random.split(key)
-    xc, xd = jax.vmap(fg.init_state)(
-        jax.random.split(k_init, W), jnp.full(W, 1.0)
-    )
+    xc, xd = fg.init_state_batched(k_init, W, 1.0)
 
     grad_fn = jax.grad(fg.log_prob)
 

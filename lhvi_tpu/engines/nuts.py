@@ -241,9 +241,7 @@ def run_nuts(
 ):
     """NUTS-within-Gibbs over the compiled graph; mirrors ``hmc.run_hmc``."""
     k_init, k_warm, k_samp = jax.random.split(key, 3)
-    xc, xd = jax.vmap(fg.init_state)(
-        jax.random.split(k_init, n_chains), jnp.full(n_chains, cfg.jitter)
-    )
+    xc, xd = fg.init_state_batched(k_init, n_chains, cfg.jitter)
 
     state = _hmc.HMCState(
         xc=xc, xd=xd,

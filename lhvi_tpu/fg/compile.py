@@ -284,6 +284,19 @@ class CompiledFG:
         xd = jnp.floor(u * self.disc_sizes).astype(jnp.int32)
         return xc, xd
 
+    def init_state_batched(self, key: Array, n: int, jitter: float = 0.1):
+        """[n, …] initial states drawn with two bulk PRNG calls — per-chain
+        key splitting costs seconds at ≥64k chains."""
+        kc, kd = jax.random.split(key)
+        mid = 0.5 * (self.cont_lo + self.cont_hi)
+        span = jnp.minimum(self.cont_hi - self.cont_lo, 4.0)
+        xc = mid[None] + jitter * span[None] * jax.random.normal(
+            kc, (n, self.n_cont)
+        )
+        u = jax.random.uniform(kd, (n, self.n_disc))
+        xd = jnp.floor(u * self.disc_sizes[None]).astype(jnp.int32)
+        return xc, xd
+
 
 def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     """Pad axis 0 to n rows by repeating row 0 (keeps kernels finite)."""

@@ -58,6 +58,7 @@ def switching_lds(T: int = 12, seed: int = 0):
     ys = 0.8 * np.cumsum(rng.normal(0.4, 0.6, T))
 
     fs = [F(GaussianPotential([0.0], [[1.0]]), [xs[0]])]
+    y_rvs = []
     for t in range(T):
         fs.append(F(TablePotential([0.5, 0.5]), [ss[t]]))
         # regime-modulated transition: log φ = −(x_t − x_{t−1} − drift(s))²/(2q)
@@ -74,11 +75,7 @@ def switching_lds(T: int = 12, seed: int = 0):
                 )
             )
         y = RV(dom_x, value=float(ys[t]), name=f"y{t}")
+        y_rvs.append(y)
         fs.append(F(LinearGaussianPotential(coeff=1.0, sig=0.8), [xs[t], y]))
-    g = Graph(xs + ss + [rv for rv in [] ], fs)
-    # include observed y RVs in graph for completeness
-    for f in fs:
-        for rv in f.nb:
-            if rv not in g.rvs:
-                g.rvs.append(rv)
+    g = Graph(xs + ss + y_rvs, fs)
     return g, xs, ss

@@ -84,8 +84,8 @@ def test_hmc_moments_hybrid():
     exact = ExactPosterior(g, cont_grid=161)
     fg = compile_graph(g)
     res = hmc.sample(
-        fg, jax.random.PRNGKey(4), n_chains=32, n_warmup=400,
-        n_samples=1500, collect="moments",
+        fg, jax.random.PRNGKey(4), n_chains=64, n_warmup=400,
+        n_samples=2500, collect="moments",
     )
     assert abs(res.mean(x1) - exact.mean(x1)) < 0.1
     assert np.abs(res.disc_marginal(d) - exact.disc_marginal(d)).max() < 0.05
