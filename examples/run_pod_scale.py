@@ -80,18 +80,23 @@ def main():
             n_cont=fg.n_cont, n_disc=fg.n_disc)
 
     # cap Gibbs cost per iteration: dense MLN conflict graphs need ~n_people
-    # colors; rotate through 8 per sweep (random-scan kernel)
+    # colors; rotate through 4 per sweep (random-scan kernel). Larger caps
+    # and chain counts can exceed this environment's AOT-compile limits.
     hcfg = hmc.HMCConfig(n_leapfrog=6, init_step_size=0.1,
-                         gibbs_max_colors=8)
+                         gibbs_max_colors=4)
 
     def measure(shard, n_chains, tag):
         kw = dict(n_chains=n_chains, n_warmup=0, n_samples=8,
                   collect="moments", shard=shard)
-        out = hmc.run_hmc(fg, jax.random.PRNGKey(0), hcfg, **kw)
-        out[0]["mean"].block_until_ready()
-        t0 = time.perf_counter()
-        out = hmc.run_hmc(fg, jax.random.PRNGKey(1), hcfg, **kw)
-        out[0]["mean"].block_until_ready()
+        try:
+            out = hmc.run_hmc(fg, jax.random.PRNGKey(0), hcfg, **kw)
+            out[0]["mean"].block_until_ready()
+            t0 = time.perf_counter()
+            out = hmc.run_hmc(fg, jax.random.PRNGKey(1), hcfg, **kw)
+            out[0]["mean"].block_until_ready()
+        except Exception as e:  # log and continue (infra flakes happen)
+            log.log("throughput_error", config=tag, error=str(e)[:200])
+            return None
         dt = time.perf_counter() - t0
         sps = n_chains * 8 / dt
         log.log("throughput", config=tag, chains=n_chains,
@@ -99,15 +104,17 @@ def main():
         return sps
 
     n_dev = len(jax.devices())
-    sps_full = measure(
-        chain_sharding(make_mesh(axis_names=("dp",))), cfg.n_chains, f"{n_dev}dev"
+    shard_full = (
+        chain_sharding(make_mesh(axis_names=("dp",))) if n_dev > 1 else None
     )
-    if n_dev > 1:
+    sps_full = measure(shard_full, cfg.n_chains, f"{n_dev}dev")
+    if n_dev > 1 and sps_full:
         mesh1 = make_mesh(shape=(1,), axis_names=("dp",),
                           devices=jax.devices()[:1])
         sps_1 = measure(chain_sharding(mesh1), cfg.n_chains // n_dev, "1dev")
-        eff = sps_full / (sps_1 * n_dev)
-        log.log("scaling", devices=n_dev, efficiency=round(eff, 3))
+        if sps_1:
+            eff = sps_full / (sps_1 * n_dev)
+            log.log("scaling", devices=n_dev, efficiency=round(eff, 3))
 
     # ---- checkpoint demo --------------------------------------------------
     if cfg.checkpoint_dir:

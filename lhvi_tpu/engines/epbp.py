@@ -142,14 +142,21 @@ class EPBP:
     def __init__(self, fg: CompiledFG, cfg: EPBPConfig = EPBPConfig()):
         if fg.max_v > cfg.n_particles:
             raise ValueError("n_particles must be >= largest discrete domain")
+        from lhvi_tpu.fg.compile import build_edge_gather
+
         self.fg = fg
         self.cfg = cfg
         self.bidx = _index_buckets(fg)
+        self.edge_plan = build_edge_gather(
+            fg.meta.np_buckets, [b.pattern for b in fg.buckets],
+            fg.n_cont, fg.n_disc,
+        )
         self.state = None
 
     def run(self, key: Array, n_iters: int = None):
         n_iters = n_iters or self.cfg.n_iters
-        out = _epbp_run(self.fg, tuple(self.bidx), key, self.cfg, n_iters)
+        out = _epbp_run(self.fg, tuple(self.bidx), self.edge_plan, key,
+                        self.cfg, n_iters)
         self.sup, self.sup_idx, self.sup_mask, self.B, self.q_mu, self.q_var = (
             np.asarray(o) for o in out
         )
@@ -197,7 +204,8 @@ class EPBP:
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_iters"))
-def _epbp_run(fg: CompiledFG, bidx, key, cfg: EPBPConfig, n_iters: int):
+def _epbp_run(fg: CompiledFG, bidx, plan, key, cfg: EPBPConfig,
+              n_iters: int):
     P = cfg.n_particles
     n_var = max(fg.n_cont + fg.n_disc, 1)
 
@@ -259,10 +267,16 @@ def _epbp_run(fg: CompiledFG, bidx, key, cfg: EPBPConfig, n_iters: int):
         return jnp.concatenate([lq_c, jnp.zeros((n_var - fg.n_cont, P))], 0)
 
     def beliefs_of(msgs, bidx):
-        B = jnp.zeros((n_var, P))
+        # scatter-free belief assembly (see engines.lbp)
+        if not plan.idx:
+            return jnp.zeros((n_var, P))
+        flats = []
         for bi, m in zip(bidx, msgs):
-            B = B.at[bi.gvid].add(bi.w_edge[..., None] * m * bi.lat[..., None])
-        return B
+            contrib = bi.w_edge[..., None] * m * bi.lat[..., None]
+            flats.append(contrib.transpose(1, 0, 2).reshape(-1, P))
+        flat = jnp.concatenate(flats + [jnp.zeros((1, P))], axis=0)
+        parts = [jnp.sum(flat[idx], axis=1) for idx in plan.idx]
+        return jnp.concatenate(parts, axis=0)[plan.pos_of_var]
 
     def update_msgs(sup_old, msgs_old, lq_old, sup_new):
         """One synchronous message update targeting ``sup_new`` points."""

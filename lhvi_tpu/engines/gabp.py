@@ -22,19 +22,13 @@ in the reference's experiment scripts).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from lhvi_tpu.fg.graph import Graph, RV
-from lhvi_tpu.potentials import (
-    GaussianPotential,
-    LinearGaussianPotential,
-    QuadraticPotential,
-    XYPotential,
-)
 
 
 def information_form(g: Graph) -> Tuple[np.ndarray, np.ndarray, list]:

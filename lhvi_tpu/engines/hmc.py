@@ -17,7 +17,7 @@ Everything is one ``lax.scan`` under ``jit``; chains are a leading axis
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from lhvi_tpu.fg.compile import CompiledFG, FactorBucket, expand_params
+from lhvi_tpu.fg.compile import CompiledFG, expand_params
 
 Array = jax.Array
 _NEG = -1e30
@@ -201,7 +201,13 @@ class HybridLBP:
     """
 
     def __init__(self, fg: CompiledFG):
+        from lhvi_tpu.fg.compile import build_edge_gather
+
         self.fg = fg
+        self.edge_plan = build_edge_gather(
+            fg.meta.np_buckets, [b.pattern for b in fg.buckets],
+            fg.n_cont, fg.n_disc,
+        )
         sup_vals_np, sup_mask_np = _support(fg)
         self.sup_vals = jnp.asarray(sup_vals_np)
         self.sup_mask = jnp.asarray(sup_mask_np)
@@ -221,6 +227,7 @@ class HybridLBP:
             self.tables,
             msgs,
             self.sup_mask,
+            self.edge_plan,
             self.n_var,
             n_iters,
             damping,
@@ -265,14 +272,22 @@ class HybridLBP:
 
 
 @partial(jax.jit, static_argnames=("n_var", "n_iters", "damping"))
-def _lbp_iterate(tables, msgs, sup_mask, n_var: int, n_iters: int,
+def _lbp_iterate(tables, msgs, sup_mask, plan, n_var: int, n_iters: int,
                  damping: float):
+    S = sup_mask.shape[1]
+
     def beliefs_of(msgs):
-        B = jnp.zeros((n_var, sup_mask.shape[1]))
+        # scatter-free belief assembly via the precomputed edge-gather plan
+        # (scatter-adds into [n_var, S] lower to one-hot matmuls on TPU)
+        if not plan.idx:
+            return jnp.zeros((n_var, S))
+        flats = []
         for t, m in zip(tables, msgs):
-            contrib = t.w_edge[..., None] * m * t.lat[..., None]
-            B = B.at[t.gvid].add(contrib)
-        return B
+            contrib = t.w_edge[..., None] * m * t.lat[..., None]  # [n_f,a,S]
+            flats.append(contrib.transpose(1, 0, 2).reshape(-1, S))
+        flat = jnp.concatenate(flats + [jnp.zeros((1, S))], axis=0)
+        parts = [jnp.sum(flat[idx], axis=1) for idx in plan.idx]
+        return jnp.concatenate(parts, axis=0)[plan.pos_of_var]
 
     def one_iter(msgs, _):
         B = beliefs_of(msgs)

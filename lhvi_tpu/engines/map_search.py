@@ -14,8 +14,6 @@ tracked on-device; the global argmax is the MAP estimate.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ in f32 (SURVEY.md §9 hard part (b)).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -258,9 +258,8 @@ def elbo(fg: CompiledFG, params: VIParams, n_quad: int) -> Array:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def fit(fg: CompiledFG, key: Array, cfg: VIConfig = VIConfig()):
-    """Optimize the ELBO; returns (params, elbo_trace [n_iters])."""
-    params = init_params(fg, key, cfg)
+def _fit_from(fg: CompiledFG, params: VIParams, cfg: VIConfig):
+    """Optimize the ELBO from given initial params."""
     opt = optax.adam(cfg.lr)
     opt_state = opt.init(params)
 
@@ -277,6 +276,11 @@ def fit(fg: CompiledFG, key: Array, cfg: VIConfig = VIConfig()):
         step, (params, opt_state), None, length=cfg.n_iters
     )
     return params, trace
+
+
+def fit(fg: CompiledFG, key: Array, cfg: VIConfig = VIConfig()):
+    """Optimize the ELBO; returns (params, elbo_trace [n_iters])."""
+    return _fit_from(fg, init_params(fg, key, cfg), cfg)
 
 
 class VIResult:
@@ -339,3 +343,87 @@ class VIResult:
 def infer(fg: CompiledFG, key, cfg: VIConfig = VIConfig()) -> VIResult:
     params, trace = fit(fg, key, cfg)
     return VIResult(fg, params, trace)
+
+
+# ---------------------------------------------------------------------------
+# Coarse-to-fine lifted VI (reference "OSI C2F variant" parity,
+# SURVEY.md §3.1): optimize on a coarse orbit partition, then split
+# clusters and warm-start the finer stage. The cluster hierarchy comes
+# from truncated color refinement: ``max_rounds`` rounds of color passing
+# give ever-finer valid partitions, ending at the fixpoint (exact lifted)
+# or the fully grounded graph.
+# ---------------------------------------------------------------------------
+
+
+def _transfer_params(fg_a: CompiledFG, fg_b: CompiledFG,
+                     params: VIParams) -> VIParams:
+    """Warm-start stage-B params by copying each ground RV's stage-A orbit
+    params into its (finer) stage-B slot."""
+    import numpy as np
+
+    g = fg_a.meta.graph
+    K = params.mu.shape[0]
+    c_src = np.zeros(max(fg_b.n_cont, 1), np.int64)
+    d_src = np.zeros(max(fg_b.n_disc, 1), np.int64)
+    for rv in g.rvs:
+        if rv.observed:
+            continue
+        k_a, i_a = fg_a.meta.loc(rv)
+        k_b, i_b = fg_b.meta.loc(rv)
+        if k_b == "c":
+            c_src[i_b] = i_a
+        else:
+            d_src[i_b] = i_a
+    mu = params.mu[:, c_src[: fg_b.n_cont]] if fg_b.n_cont else jnp.zeros(
+        (K, 0)
+    )
+    ls = params.log_sigma[:, c_src[: fg_b.n_cont]] if fg_b.n_cont else (
+        jnp.zeros((K, 0))
+    )
+    lg = (
+        params.logits[:, d_src[: fg_b.n_disc]]
+        if fg_b.n_disc
+        else jnp.zeros((K, 0, fg_b.max_v))
+    )
+    return VIParams(log_w=params.log_w, mu=mu, log_sigma=ls, logits=lg)
+
+
+def infer_c2f(
+    g,
+    key,
+    cfg: VIConfig = VIConfig(),
+    schedule=(0, None, "ground"),
+    pad_to: int = 8,
+) -> VIResult:
+    """Coarse-to-fine VI over a refinement schedule.
+
+    ``schedule`` entries: int = that many color-refinement rounds
+    (0 = coarsest: domain/evidence/potential-type classes), ``None`` =
+    fixpoint (exact lifted partition), ``"ground"`` = fully grounded.
+    ``cfg.n_iters`` is split evenly across stages; each stage warm-starts
+    from the previous partition's parameters.
+    """
+    from lhvi_tpu.fg.compile import compile_graph
+    from lhvi_tpu.lift import compile_lifted
+
+    import numpy as np
+
+    iters = max(cfg.n_iters // max(len(schedule), 1), 1)
+    stage_cfg = cfg.replace(n_iters=iters)
+    params = None
+    prev_fg = None
+    traces = []
+    for si, stage in enumerate(schedule):
+        if stage == "ground":
+            fg = compile_graph(g, pad_to=pad_to)
+        else:
+            rounds = 10_000 if stage is None else int(stage)
+            fg = compile_lifted(g, pad_to=pad_to, max_rounds=rounds)
+        if params is None:
+            params = init_params(fg, jax.random.fold_in(key, si), stage_cfg)
+        else:
+            params = _transfer_params(prev_fg, fg, params)
+        params, trace = _fit_from(fg, params, stage_cfg)
+        traces.append(np.asarray(trace))
+        prev_fg = fg
+    return VIResult(fg, params, np.concatenate(traces))

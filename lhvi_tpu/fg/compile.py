@@ -22,7 +22,7 @@ BASELINE.json's north-star.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Tuple
 
 import numpy as np
 import jax
@@ -587,20 +587,25 @@ def _build_gibbs_gather(np_buckets: List[Dict[str, np.ndarray]],
             all_rows.append(off + np.nonzero(valid)[0].astype(np.int64))
             all_vars.append(disc_idx[valid, p].astype(np.int64))
             off += n_f
-    f_tot = off  # zero-padding row id
+    return _group_gather(all_vars, all_rows, off, n_disc)
 
-    if n_disc == 0 or not all_vars:
+
+def _group_gather(all_vars: List[np.ndarray], all_rows: List[np.ndarray],
+                  f_tot: int, n_var: int) -> GibbsGather:
+    """Group (var, flat-row) incidences into degree-bucketed gather tables
+    (row ``f_tot`` is the zero-padding row)."""
+    if n_var == 0 or not all_vars:
         return GibbsGather(
             degrees=(),
             idx=(),
-            pos_of_var=jnp.zeros(max(n_disc, 0), jnp.int32),
+            pos_of_var=jnp.zeros(max(n_var, 0), jnp.int32),
         )
 
     vars_cat = np.concatenate(all_vars)
     rows_cat = np.concatenate(all_rows)
     order = np.argsort(vars_cat, kind="stable")
     rows_sorted = rows_cat[order]
-    deg = np.bincount(vars_cat, minlength=n_disc)
+    deg = np.bincount(vars_cat, minlength=n_var)
     starts = np.concatenate([[0], np.cumsum(deg)])
 
     def pad_deg(d: int) -> int:  # limit distinct group shapes
@@ -612,11 +617,11 @@ def _build_gibbs_gather(np_buckets: List[Dict[str, np.ndarray]],
         return p
 
     group_vars: Dict[int, List[int]] = {}
-    for v in range(n_disc):
+    for v in range(n_var):
         group_vars.setdefault(pad_deg(int(deg[v])), []).append(v)
 
     degrees, idx_arrays = [], []
-    pos_of_var = np.zeros(n_disc, np.int64)
+    pos_of_var = np.zeros(n_var, np.int64)
     pos = 0
     for d in sorted(group_vars):
         vs = group_vars[d]
@@ -633,6 +638,36 @@ def _build_gibbs_gather(np_buckets: List[Dict[str, np.ndarray]],
         idx=tuple(idx_arrays),
         pos_of_var=jnp.asarray(pos_of_var.astype(np.int32)),
     )
+
+
+def build_edge_gather(np_buckets: List[Dict[str, np.ndarray]],
+                      patterns: List[Tuple[bool, ...]],
+                      n_cont: int, n_disc: int) -> GibbsGather:
+    """Gather plan over ALL latent (bucket, slot, factor) incidences with
+    unified var ids (continuous first, then discrete). Flat row order:
+    bucket-major, slot-major (full pattern order), factor-minor — matching
+    ``[n_f, a, S].transpose(1,0,2).reshape(a·n_f, S)`` per bucket. Used by
+    the message-passing engines to assemble beliefs scatter-free.
+    """
+    all_vars: List[np.ndarray] = []
+    all_rows: List[np.ndarray] = []
+    off = 0
+    for np_b, pattern in zip(np_buckets, patterns):
+        n_f = np_b["scale"].shape[0]
+        ci = di = 0
+        for p, is_cont in enumerate(pattern):
+            if is_cont:
+                mask = np_b["cont_mask"][:, ci] > 0
+                gv = np_b["cont_idx"][:, ci]
+                ci += 1
+            else:
+                mask = np_b["disc_mask"][:, di] > 0
+                gv = n_cont + np_b["disc_idx"][:, di]
+                di += 1
+            all_rows.append((off + np.nonzero(mask)[0]).astype(np.int64))
+            all_vars.append(gv[mask].astype(np.int64))
+            off += n_f
+    return _group_gather(all_vars, all_rows, off, n_cont + n_disc)
 
 
 def _greedy_color(g: Graph, meta: FGMeta, n_disc: int) -> np.ndarray:

@@ -17,7 +17,7 @@ Used by ``fg.compile`` (fusion pass) and ``engines.gabp`` (message forms).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

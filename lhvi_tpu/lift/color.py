@@ -157,9 +157,16 @@ def _color_refine_native(g: Graph, max_rounds: int):
     return rvc, fc
 
 
-def compile_lifted(g: Graph, pad_to: int = 8) -> CompiledFG:
-    """Color-refine then compile the lifted IR (see module docstring)."""
-    rvc, fc = color_refine(g)
+def compile_lifted(g: Graph, pad_to: int = 8,
+                   max_rounds: int = 10_000) -> CompiledFG:
+    """Color-refine then compile the lifted IR (see module docstring).
+
+    ``max_rounds`` truncates the refinement: fewer rounds → coarser
+    partitions (round 0 groups purely by domain/evidence/potential type).
+    The coarse-to-fine VI schedule (``engines.vi.infer_c2f``) exploits
+    this hierarchy; the fixpoint partition is the exact lifted one.
+    """
+    rvc, fc = color_refine(g, max_rounds=max_rounds)
 
     cont_orbits: Dict[int, int] = {}
     disc_orbits: Dict[int, int] = {}

@@ -3,12 +3,12 @@
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 
 from lhvi_tpu.fg.graph import Domain
-from lhvi_tpu.potentials import GaussianPotential, MLNPotential, limp, leq
+from lhvi_tpu.potentials import GaussianPotential, MLNPotential, limp
 from lhvi_tpu.relational.graph import RelationalGraph
 
 

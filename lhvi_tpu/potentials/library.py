@@ -13,7 +13,7 @@ quadratic forms accumulate in f32.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import numpy as np
 import jax.numpy as jnp

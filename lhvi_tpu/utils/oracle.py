@@ -10,7 +10,7 @@ graph — so it is an independent check on the compiler itself.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp
