@@ -89,13 +89,18 @@ def tpu_throughput(g):
         )
         return moments, diag
 
-    # warm-up / compile
-    out, diag = run(jax.random.PRNGKey(0), 5)
-    out["mean"].block_until_ready()
-    t0 = time.perf_counter()
-    out, diag = run(jax.random.PRNGKey(1), N_ITERS_TPU)
-    out["mean"].block_until_ready()
-    dt = time.perf_counter() - t0
+    # warm-up with the SAME static shapes so the timed calls are execution
+    # only. Sync via a host readback of the result: block_until_ready
+    # returns early on this tunneled backend and undercounts.
+    out, diag = run(jax.random.PRNGKey(0), N_ITERS_TPU)
+    float(out["mean"][0])
+    times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out, diag = run(jax.random.PRNGKey(1 + rep), N_ITERS_TPU)
+        float(out["mean"][0])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]  # median of 3
     return N_CHAINS * N_ITERS_TPU / dt, diag
 
 
