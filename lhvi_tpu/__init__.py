@@ -20,6 +20,7 @@ __version__ = "0.1.0"
 
 from lhvi_tpu.fg.graph import Domain, RV, F, Graph
 from lhvi_tpu.fg.compile import compile_graph, CompiledFG
+from lhvi_tpu.lift.color import compile_lifted
 
 __all__ = [
     "Domain",
@@ -27,6 +28,7 @@ __all__ = [
     "F",
     "Graph",
     "compile_graph",
+    "compile_lifted",
     "CompiledFG",
     "__version__",
 ]
