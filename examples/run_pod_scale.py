@@ -92,24 +92,25 @@ def main():
                          gibbs_max_colors=4)
 
     def measure(shard, n_chains, tag):
-        kw = dict(n_chains=n_chains, n_warmup=0, n_samples=8,
+        # short dispatches: this environment kills single device executions
+        # over ~10s wall (observed: 4-sample scans pass, 8-sample crash the
+        # worker); chunk the run and loop from the host instead
+        chunk = 4
+        kw = dict(n_chains=n_chains, n_warmup=0, n_samples=chunk,
                   collect="moments", shard=shard)
-        for attempt in range(2):  # transient TPU kernel faults happen
-            try:
-                out = hmc.run_hmc(fg, jax.random.PRNGKey(0), hcfg, **kw)
+        try:
+            out = hmc.run_hmc(fg, jax.random.PRNGKey(0), hcfg, **kw)
+            float(out[0]["mean"][0])  # compile + true sync
+            t0 = time.perf_counter()
+            n_chunks = 2
+            for rep in range(n_chunks):
+                out = hmc.run_hmc(fg, jax.random.PRNGKey(1 + rep), hcfg, **kw)
                 float(out[0]["mean"][0])
-                t0 = time.perf_counter()
-                out = hmc.run_hmc(fg, jax.random.PRNGKey(1), hcfg, **kw)
-                float(out[0]["mean"][0])
-                break
-            except Exception as e:  # log and continue (infra flakes happen)
-                log.log("throughput_error", config=tag, attempt=attempt,
-                        error=str(e)[:200])
-                if attempt == 1:
-                    return None
-                time.sleep(10)
+        except Exception as e:  # log and continue (infra flakes happen)
+            log.log("throughput_error", config=tag, error=str(e)[:200])
+            return None
         dt = time.perf_counter() - t0
-        sps = n_chains * 8 / dt
+        sps = n_chains * chunk * n_chunks / dt
         log.log("throughput", config=tag, chains=n_chains,
                 samples_per_s=round(sps, 1), wall_s=round(dt, 2))
         return sps
