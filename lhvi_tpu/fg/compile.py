@@ -230,10 +230,6 @@ class CompiledFG:
             total = total + jnp.sum(b.scale * lp)
         return total
 
-    def log_prob_cont(self, xc: Array, xd: Array) -> Array:
-        """log p as a function of the continuous block (for HMC grads)."""
-        return self.log_prob(xc, xd)
-
     def disc_logits(self, xc: Array, xd: Array) -> Array:
         """Per-variable full-conditional logits for discrete latents.
 
