@@ -137,3 +137,32 @@ def test_chromatic_coloring_valid():
     co = np.asarray(fg.color_of)
     assert co.shape == (fg.n_disc,)
     assert (co >= 0).all() and (co < fg.n_colors).all()
+
+
+def test_disc_logits_identity_on_relational_model():
+    """Gather-plan regression net: for every discrete latent v and value c,
+    logits[v,c] - logits[v,cur] must equal the joint log-prob difference of
+    flipping v to c — across a model with multiple buckets, slot positions,
+    and incidence degrees (friends-smokers with evidence)."""
+    from lhvi_tpu.models.relational import friends_smokers
+
+    rg = friends_smokers(n_people=4, hybrid=True)
+    rg.observe("smokes", ("p0",), 1)
+    g2, _ = rg.ground()
+    fg = compile_graph(g2)
+    assert len(fg.gibbs.degrees) >= 2  # several degree groups exercised
+
+    key = jax.random.PRNGKey(0)
+    xc, xd = fg.init_state(key)
+    logits = np.asarray(fg.disc_logits(xc, xd))
+    base_lp = float(fg.log_prob(xc, xd))
+    xd_np = np.asarray(xd)
+    sizes = np.asarray(fg.disc_sizes)
+    rng = np.random.default_rng(0)
+    for v in rng.choice(fg.n_disc, size=12, replace=False):
+        cur = int(xd_np[v])
+        for c in range(int(sizes[v])):
+            xd2 = jnp.asarray(xd_np).at[v].set(c)
+            want = float(fg.log_prob(xc, xd2)) - base_lp
+            got = logits[v, c] - logits[v, cur]
+            assert np.isclose(got, want, rtol=1e-3, atol=1e-3), (v, c, got, want)
