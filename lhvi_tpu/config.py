@@ -46,8 +46,13 @@ class GridConfig(EngineConfig):
 
 @dataclass
 class FriendsSmokersConfig(EngineConfig):
-    """BASELINE config 3: relational hybrid MLN with lifted compression."""
+    """BASELINE config 3: relational hybrid MLN with lifted compression.
 
+    Defaults to VI: parameter tying on the lifted IR is exact for VI/BP,
+    whereas sampling engines on a lifted IR target the orbit-collapsed
+    model (use ``--lifted false`` for grounded sampling)."""
+
+    engine: str = "vi"
     n_people: int = 50
     hybrid: bool = True
     lifted: bool = True
