@@ -175,6 +175,11 @@ class EPBP:
         # final beliefs are tabulated on a uniform dense grid (continuous)
         # or the full domain (discrete): density ∝ exp(B)
         lw = np.where(self.sup_mask[row] > 0, self.B[row], -np.inf)
+        if not np.isfinite(lw).any():
+            # degenerate row (all messages underflowed): fall back to the
+            # masked-uniform distribution instead of emitting NaN weights
+            m = (self.sup_mask[row] > 0).astype(np.float64)
+            return m / m.sum()
         lw -= lw.max()
         w = np.exp(lw) * (self.sup_mask[row] > 0)
         return w / w.sum()

@@ -86,6 +86,7 @@ class FactorBucket:
     cont_const: Array  # f32 [n_f, ac] evidence values
     disc_idx: Array  # i32 [n_f, ad] into x_d
     disc_mask: Array  # f32 [n_f, ad]
+    disc_first: Array  # f32 [n_f, ad] 1 = first latent occurrence of its var
     disc_const: Array  # i32 [n_f, ad] evidence value-indices
     disc_vals: Array  # f32 [n_f, ad, Vmax] slot index->value tables
     disc_size: Array  # i32 [n_f, ad] slot domain sizes
@@ -239,6 +240,13 @@ class CompiledFG:
         state). Invalid candidate slots carry ``-1e30``. One fused pass per
         bucket×slot, assembled scatter-free via the precomputed
         ``GibbsGather`` plan — the chromatic-Gibbs inner kernel.
+
+        Factors referencing the same discrete variable in multiple slots
+        (grounded repeated args, or lifted same-orbit slots) are handled
+        jointly: ALL slots sharing slot p's variable are set to the
+        candidate value, and only the first occurrence contributes
+        (``disc_first``), so such a factor yields ``log φ(v, …, v)`` once
+        rather than a sum of single-slot substitutions.
         """
         V = self.max_v
         if self.n_disc == 0:
@@ -252,11 +260,19 @@ class CompiledFG:
             # broadcast current slots over the candidate axis: [n_f, V, a*]
             xcs_b = xcs[:, None, :]
             xdi_b = jnp.broadcast_to(xdi[:, None, :], (b.n_factors, V, b.ad))
+            lat = b.disc_mask > 0
             for p in range(b.ad):
-                xdi_p = xdi_b.at[:, :, p].set(cand[None, :])
+                # latent slots sharing slot p's variable (one-hot at p when
+                # no repeats) — set jointly to the candidate value
+                same = (
+                    (b.disc_idx == b.disc_idx[:, p : p + 1])
+                    & lat
+                    & lat[:, p : p + 1]
+                )
+                xdi_p = jnp.where(same[:, None, :], cand[None, :, None], xdi_b)
                 xdv_p = b.slot_values(xdi_p)
                 lp = b.kernel(params, xcs_b, xdi_p, xdv_p)  # [n_f, V]
-                w = b.scale * b.disc_mask[:, p]  # latent slots only
+                w = b.scale * b.disc_mask[:, p] * b.disc_first[:, p]
                 rows.append(jnp.nan_to_num(lp, neginf=_NEG_BIG) * w[:, None])
         if not rows:
             return jnp.full((self.n_disc, V), _NEG_BIG)
@@ -390,7 +406,20 @@ def compile_graph(
                 )
         pattern = tuple(rv.domain.continuous for rv in f.nb)
         latency = tuple(meta.index[id(rv)][0] != "obs" for rv in f.nb)
-        key = (f.potential.bucket_key(), pattern, latency)
+        # tied = some latent continuous state index appears in >1 slot
+        # (grounded repeated args or lifted same-orbit slots). Quadratic
+        # fusion is WRONG for tied factors: accumulate_information_form
+        # would fold the cross coupling J_xy onto the diagonal, so a
+        # mean-field expectation reads E[x²]=μ²+σ² where the tied-parameter
+        # ground ELBO needs E[x_X]E[x_Y]=μ². Tied factors get their own
+        # bucket and stay on the unfused path (independent quadrature axes).
+        c_slots = [
+            meta.index[id(rv)][1]
+            for rv in f.nb
+            if rv.domain.continuous and meta.index[id(rv)][0] == "c"
+        ]
+        cont_tied = len(c_slots) != len(set(c_slots))
+        key = (f.potential.bucket_key(), pattern, latency, cont_tied)
         buckets_raw.setdefault(key, []).append(f)
 
     # --- quadratic fusion decision per bucket ---------------------------
@@ -401,11 +430,12 @@ def compile_graph(
     fused_factors: List[F] = []
 
     buckets: List[FactorBucket] = []
-    for (bkey, pattern, latency), fs in buckets_raw.items():
+    for (bkey, pattern, latency, cont_tied), fs in buckets_raw.items():
         fusible = (
             do_fuse
             and isinstance(fs[0].potential, QUADRATIC_TYPES)
             and all(pattern)
+            and not cont_tied
         )
         fused_flags.append(fusible)
         if fusible:
@@ -421,6 +451,7 @@ def compile_graph(
         c_const = np.zeros((n_raw, ac), np.float32)
         d_idx = np.zeros((n_raw, ad), np.int32)
         d_mask = np.zeros((n_raw, ad), np.float32)
+        d_first = np.zeros((n_raw, ad), np.float32)
         d_const = np.zeros((n_raw, ad), np.int32)
         d_vals = np.zeros((n_raw, ad, max_v), np.float32)
         d_size = np.ones((n_raw, ad), np.int32)
@@ -432,6 +463,7 @@ def compile_graph(
             for k, v in f.potential.param_arrays().items():
                 p_stack.setdefault(k, []).append(np.asarray(v, dtype=None))
             ci = di = 0
+            seen_d: set = set()
             for rv, is_cont in zip(f.nb, pattern):
                 kind, idx = meta.index[id(rv)]
                 if is_cont:
@@ -448,6 +480,9 @@ def compile_graph(
                     d_size[r, di] = dom.size
                     if kind == "d":
                         d_idx[r, di], d_mask[r, di] = idx, 1.0
+                        if idx not in seen_d:
+                            d_first[r, di] = 1.0
+                            seen_d.add(idx)
                     else:
                         d_const[r, di] = dom.value_index(rv.value)
                     di += 1
@@ -471,6 +506,8 @@ def compile_graph(
             "disc_idx": pad(d_idx),
             "disc_mask": (pad(d_mask) * (scale_p > 0)[:, None]
                           if ad else pad(d_mask)),
+            "disc_first": (pad(d_first) * (scale_p > 0)[:, None]
+                           if ad else pad(d_first)),
             "disc_const": pad(d_const),
             "disc_vals": pad(d_vals),
             "disc_size": pad(d_size),
@@ -490,6 +527,7 @@ def compile_graph(
                 cont_const=jnp.asarray(np_b["cont_const"]),
                 disc_idx=jnp.asarray(np_b["disc_idx"]),
                 disc_mask=jnp.asarray(np_b["disc_mask"]),
+                disc_first=jnp.asarray(np_b["disc_first"]),
                 disc_const=jnp.asarray(np_b["disc_const"]),
                 disc_vals=jnp.asarray(np_b["disc_vals"]),
                 disc_size=jnp.asarray(np_b["disc_size"]),
@@ -576,7 +614,7 @@ def _build_gibbs_gather(np_buckets: List[Dict[str, np.ndarray]],
         if ad == 0:
             continue
         disc_idx = b["disc_idx"]
-        disc_mask = b["disc_mask"]
+        disc_mask = b["disc_mask"] * b["disc_first"]
         n_f = disc_idx.shape[0]
         for p in range(ad):
             valid = disc_mask[:, p] > 0

@@ -82,6 +82,7 @@ def shard_fg_factors(fg: CompiledFG, mesh: Mesh, axis: str = "tp") -> CompiledFG
             cont_const=jax.device_put(b.cont_const, fsh),
             disc_idx=jax.device_put(b.disc_idx, fsh),
             disc_mask=jax.device_put(b.disc_mask, fsh),
+            disc_first=jax.device_put(b.disc_first, fsh),
             disc_const=jax.device_put(b.disc_const, fsh),
             disc_vals=jax.device_put(b.disc_vals, fsh),
             disc_size=jax.device_put(b.disc_size, fsh),

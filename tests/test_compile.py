@@ -166,3 +166,40 @@ def test_disc_logits_identity_on_relational_model():
             want = float(fg.log_prob(xc, xd2)) - base_lp
             got = logits[v, c] - logits[v, cur]
             assert np.isclose(got, want, rtol=1e-3, atol=1e-3), (v, c, got, want)
+
+
+def test_disc_logits_repeated_discrete_argument():
+    """A grounded factor referencing the same discrete latent in TWO slots
+    (ADVICE r1 #2) must yield full conditionals built from log phi(v, v)
+    counted once — not log phi(v, cur) + log phi(cur, v). Checked via the
+    conditional-vs-joint identity, which log_prob (correct for repeated
+    slots by construction) anchors."""
+    rng = np.random.RandomState(0)
+    dom = Domain([0, 1, 2])
+    d = RV(dom, name="d")
+    e = RV(dom, name="e")
+    g = Graph(
+        [d, e],
+        [
+            F(TablePotential(np.exp(rng.randn(3, 3))), [d, d]),  # repeated
+            F(TablePotential(np.exp(rng.randn(3, 3))), [d, e]),
+            F(TablePotential([0.2, 0.5, 0.3]), [e]),
+        ],
+    )
+    fg = compile_graph(g)
+    xc = jnp.zeros(0)
+    loc = {0: fg.meta.loc(d)[1], 1: fg.meta.loc(e)[1]}
+    for cur in ([0, 1], [2, 0], [1, 2]):
+        xd = np.zeros(2, np.int32)
+        xd[loc[0]], xd[loc[1]] = cur
+        logits = np.asarray(fg.disc_logits(xc, jnp.asarray(xd)))
+        base = float(fg.log_prob(xc, jnp.asarray(xd)))
+        for v_i in range(2):
+            for c in range(3):
+                xd2 = xd.copy()
+                xd2[v_i] = c
+                lp = float(fg.log_prob(xc, jnp.asarray(xd2)))
+                assert np.isclose(
+                    logits[v_i, c] - logits[v_i, xd[v_i]], lp - base,
+                    rtol=1e-4, atol=1e-4,
+                ), (cur, v_i, c)

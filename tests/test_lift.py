@@ -130,3 +130,37 @@ def test_friends_smokers_compression():
                    vi.VIConfig(K=2, n_iters=400, lr=5e-2))
     assert res.trace[-1] > res.trace[0]
     assert np.isfinite(res.trace[-1])
+
+
+def test_lifted_elbo_equals_grounded_elbo_tied_slots():
+    """ADVICE r1 #1 regression: a 3-cycle of exchangeable continuous RVs
+    with XY couplings puts BOTH slots of every coupling factor on the same
+    orbit slot. Quadratic fusion would fold the cross coupling J_xy onto
+    the diagonal (E[x^2] = mu^2 + sigma^2 where the ground tied-parameter
+    ELBO needs E[x_X]E[x_Y] = mu^2); tied factors must route to the
+    unfused quadrature path."""
+    from lhvi_tpu.potentials import XYPotential
+
+    dom = Domain([-10, 10], continuous=True)
+    xs = [RV(dom, name=f"x{i}") for i in range(3)]
+    fs = [F(GaussianPotential([0.0], [[1.0]]), [x]) for x in xs]
+    for i in range(3):
+        fs.append(F(XYPotential(0.3, 1.0), [xs[i], xs[(i + 1) % 3]]))
+    g = Graph(xs, fs)
+    fg_l = compile_lifted(g)
+    fg_g = compile_graph(g)
+    assert fg_l.n_cont == 1 and fg_g.n_cont == 3
+
+    key = jax.random.PRNGKey(1)
+    cfg = vi.VIConfig(K=2)
+    p_l = vi.init_params(fg_l, key, cfg)
+    gather = np.zeros(fg_g.n_cont, np.int64)  # every ground var -> orbit 0
+    p_g = vi.VIParams(
+        log_w=p_l.log_w,
+        mu=p_l.mu[:, gather],
+        log_sigma=p_l.log_sigma[:, gather],
+        logits=jnp.zeros((cfg.K, 0, fg_g.max_v)),
+    )
+    e_l = float(vi.elbo(fg_l, p_l, n_quad=9))
+    e_g = float(vi.elbo(fg_g, p_g, n_quad=9))
+    assert np.isclose(e_l, e_g, rtol=1e-4, atol=1e-3), (e_l, e_g)
