@@ -67,6 +67,18 @@ class LDSConfig(EngineConfig):
 
 
 @dataclass
+class RobotMapConfig(EngineConfig):
+    """Robot-mapping HMLN: hybrid relational model + on-disk evidence
+    (reference robot-mapping experiment family, SURVEY.md §3.1)."""
+
+    engine: str = "vi"
+    n_segments: int = 24
+    data: str = ""  # evidence file; default examples/data/robot_map.db
+    n_chains: int = 64
+    vi_iters: int = 3000
+
+
+@dataclass
 class PodConfig(EngineConfig):
     """BASELINE config 5: ~1e5 grounded variables, sharded chains."""
 

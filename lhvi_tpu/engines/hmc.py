@@ -149,6 +149,88 @@ def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
     return xc, jnp.exp(log_acc)
 
 
+def sweep_all(fg: CompiledFG, cfg: HMCConfig, key, xc, xd):
+    """cfg.gibbs_sweeps chromatic sweeps over all chains."""
+    for _ in range(cfg.gibbs_sweeps):
+        keys = jax.random.split(key, xc.shape[0] + 1)
+        key = keys[0]
+        xd = jax.vmap(
+            lambda k, a, b: gibbs_sweep(fg, k, a, b, cfg.gibbs_max_colors)
+        )(keys[1:], xc, xd)
+    return xd
+
+
+def hmc_transition(fg: CompiledFG, cfg: HMCConfig, state: HMCState, key,
+                   adapt: bool):
+    """One full HMC-within-Gibbs transition for all chains; the unit the
+    run/warmup scans and the checkpointed driver are built from."""
+    k_g, k_h = jax.random.split(key)
+    xd = sweep_all(fg, cfg, k_g, state.xc, state.xd)
+    eps = jnp.exp(state.log_eps)
+    xc, acc = _hmc_step_batched(fg, cfg, k_h, state.xc, xd, eps,
+                                state.inv_mass)
+    state = state._replace(xc=xc, xd=xd)
+    if adapt:
+        state = _da_update(state, jnp.mean(acc), cfg)
+        state = _welford_update(state, xc)
+    return state, acc
+
+
+def init_hmc_state(fg: CompiledFG, key, cfg: HMCConfig, n_chains: int,
+                   shard=None) -> HMCState:
+    """Fresh batched sampler state (pre-warmup)."""
+    xc, xd = fg.init_state_batched(key, n_chains, cfg.jitter)
+    if shard is not None:
+        xc = jax.lax.with_sharding_constraint(xc, shard)
+        xd = jax.lax.with_sharding_constraint(xd, shard)
+    return HMCState(
+        xc=xc, xd=xd,
+        log_eps=jnp.log(jnp.asarray(cfg.init_step_size)),
+        log_eps_bar=jnp.log(jnp.asarray(cfg.init_step_size)),
+        h_bar=jnp.zeros(()), t=jnp.zeros(()),
+        welford_mean=jnp.zeros(fg.n_cont),
+        welford_m2=jnp.zeros(fg.n_cont),
+        welford_n=jnp.zeros(()),
+        inv_mass=jnp.ones(fg.n_cont),
+    )
+
+
+def _mass_refresh(fg: CompiledFG, cfg, state: HMCState) -> HMCState:
+    if not cfg.adapt_mass or fg.n_cont == 0:
+        return state
+    var = state.welford_m2 / jnp.maximum(state.welford_n - 1.0, 1.0)
+    inv_mass = jnp.where(state.welford_n > 10.0, jnp.maximum(var, 1e-6), 1.0)
+    return state._replace(inv_mass=inv_mass)
+
+
+def run_warmup(fg: CompiledFG, cfg, state: HMCState, k_warm, n_warmup: int,
+               transition):
+    """Two-phase warmup (dual-averaging; mass refresh between phases).
+    ``transition(state, key, adapt) -> (state, acc)`` — HMC or NUTS.
+    """
+    if n_warmup <= 0:
+        return state
+
+    def warm_step(state, key):
+        state, acc = transition(state, key, True)
+        return state, jnp.mean(acc)
+
+    half = max(n_warmup // 2, 1)
+    state, _ = jax.lax.scan(warm_step, state, jax.random.split(k_warm, half))
+    state = _mass_refresh(fg, cfg, state)
+    state = state._replace(
+        h_bar=jnp.zeros(()), t=jnp.zeros(()),
+        welford_mean=jnp.zeros(fg.n_cont),
+        welford_m2=jnp.zeros(fg.n_cont), welford_n=jnp.zeros(()),
+    )
+    state, _ = jax.lax.scan(
+        warm_step, state,
+        jax.random.split(jax.random.fold_in(k_warm, 1), n_warmup - half),
+    )
+    state = _mass_refresh(fg, cfg, state)
+    return state._replace(log_eps=state.log_eps_bar)
+
+
 def _da_update(state: HMCState, accept_mean, cfg: HMCConfig):
     """Nesterov dual averaging on log step size (Hoffman–Gelman 2014)."""
     gamma, t0, kappa = 0.05, 10.0, 0.75
@@ -206,81 +288,13 @@ def run_hmc(
     by XLA.
     """
     k_init, k_warm, k_samp = jax.random.split(key, 3)
-    xc, xd = fg.init_state_batched(k_init, n_chains, cfg.jitter)
-    if shard is not None:
-        xc = jax.lax.with_sharding_constraint(xc, shard)
-        xd = jax.lax.with_sharding_constraint(xd, shard)
-
-    state = HMCState(
-        xc=xc,
-        xd=xd,
-        log_eps=jnp.log(jnp.asarray(cfg.init_step_size)),
-        log_eps_bar=jnp.log(jnp.asarray(cfg.init_step_size)),
-        h_bar=jnp.zeros(()),
-        t=jnp.zeros(()),
-        welford_mean=jnp.zeros(fg.n_cont),
-        welford_m2=jnp.zeros(fg.n_cont),
-        welford_n=jnp.zeros(()),
-        inv_mass=jnp.ones(fg.n_cont),
-    )
-
-    def sweep_all(key, xc, xd):
-        for _ in range(cfg.gibbs_sweeps):
-            keys = jax.random.split(key, xc.shape[0] + 1)
-            key = keys[0]
-            xd = jax.vmap(
-                lambda k, a, b: gibbs_sweep(fg, k, a, b, cfg.gibbs_max_colors)
-            )(keys[1:], xc, xd)
-        return xd
-
-    def warmup_step(state: HMCState, key):
-        k_g, k_h = jax.random.split(key)
-        xd = sweep_all(k_g, state.xc, state.xd)
-        eps = jnp.exp(state.log_eps)
-        xc, acc = _hmc_step_batched(
-            fg, cfg, k_h, state.xc, xd, eps, state.inv_mass
-        )
-        state = state._replace(xc=xc, xd=xd)
-        state = _da_update(state, jnp.mean(acc), cfg)
-        state = _welford_update(state, xc)
-        return state, jnp.mean(acc)
-
-    def mass_refresh(state: HMCState):
-        if not cfg.adapt_mass or fg.n_cont == 0:
-            return state
-        var = state.welford_m2 / jnp.maximum(state.welford_n - 1.0, 1.0)
-        # pooled per-dim posterior variance estimate -> inverse mass
-        inv_mass = jnp.where(state.welford_n > 10.0, jnp.maximum(var, 1e-6), 1.0)
-        return state._replace(inv_mass=inv_mass)
-
-    if n_warmup > 0:
-        half = max(n_warmup // 2, 1)
-        state, acc1 = jax.lax.scan(
-            warmup_step, state, jax.random.split(k_warm, half)
-        )
-        state = mass_refresh(state)
-        # second warmup phase re-tunes eps under the adapted mass
-        state = state._replace(
-            h_bar=jnp.zeros(()), t=jnp.zeros(()),
-            welford_mean=jnp.zeros(fg.n_cont),
-            welford_m2=jnp.zeros(fg.n_cont), welford_n=jnp.zeros(()),
-        )
-        state, acc2 = jax.lax.scan(
-            warmup_step, state, jax.random.split(jax.random.fold_in(k_warm, 1),
-                                                 n_warmup - half)
-        )
-        state = mass_refresh(state)
-        state = state._replace(log_eps=state.log_eps_bar)
+    state = init_hmc_state(fg, k_init, cfg, n_chains, shard)
+    trans = lambda s, k, adapt: hmc_transition(fg, cfg, s, k, adapt)
+    state = run_warmup(fg, cfg, state, k_warm, n_warmup, trans)
 
     def sample_step(state: HMCState, key):
-        k_g, k_h = jax.random.split(key)
-        xd = sweep_all(k_g, state.xc, state.xd)
-        eps = jnp.exp(state.log_eps)
-        xc, acc = _hmc_step_batched(
-            fg, cfg, k_h, state.xc, xd, eps, state.inv_mass
-        )
-        state = state._replace(xc=xc, xd=xd)
-        return state, (xc, xd, jnp.mean(acc))
+        state, acc = trans(state, key, False)
+        return state, (state.xc, state.xd, jnp.mean(acc))
 
     if collect == "moments":
         def moment_step(carry, key):

@@ -1,15 +1,27 @@
 """No-U-Turn Sampler (iterative, multinomial) for hybrid MRFs.
 
-BASELINE.json north-star backend ("NUTS/HMC"). Fully ``jit``/``vmap``
-compatible: the recursive tree doubling is replaced by the iterative
-formulation — a trajectory is extended one leapfrog leaf at a time inside
-``lax.while_loop``; the U-turn checks of the recursive scheme are
-reproduced with a checkpoint stack of the left boundaries of completed
-power-of-two subtrees (store leaf n at slot popcount(n); when finishing odd
-leaf r, check it against boundaries r+1−2^l for l = 1..ctz(r+1)).
-Proposals are multinomial (streaming logsumexp weights); divergences and
-U-turns terminate a doubling; discrete latents move by the same chromatic
-Gibbs sweeps as ``engines.hmc``.
+BASELINE.json north-star backend ("NUTS/HMC"). The recursive tree doubling
+is replaced by a **batched iterative state machine**: all chains advance in
+lockstep through a *shared* leaf schedule (depth d = 0, 1, …; leaf j = 0 …
+2^d−1 within each doubling), so every leaf costs ONE batched gradient
+evaluation for all chains — a single ``[C, n] @ [n, n]`` matmul on
+pure-quadratic models (which also yields log-prob for free via
+``lp = c + ½·q·(h + g)``), or one vmapped autodiff pass otherwise.
+
+Because the leaf index j is a *scalar* loop counter, the U-turn checkpoint
+stack of the iterative formulation (store leaf j at slot popcount(j); when
+finishing odd leaf j, check against boundaries j+1−2^l for
+l = 1..ctz(j+1)) indexes with scalar slots: checkpoint writes are
+``dynamic_update_slice`` on a ``[depth+1, C, n]`` array — no per-chain
+scatters (which lower to one-hot matmuls on TPU). Chains whose trajectory
+terminated early (U-turn / divergence / max depth) idle behind masks until
+the batch finishes; the loop exits when every chain is done.
+
+Proposals are multinomial (streaming logsumexp weights); discrete latents
+move by the same chromatic Gibbs sweeps as ``engines.hmc``. Supports
+``collect="moments"`` (streamed sufficient statistics), ``thin`` (inner
+loop — never materializes un-thinned samples), and ``shard`` (chain axis
+over a mesh) with the same contract as ``hmc.run_hmc``.
 """
 
 from __future__ import annotations
@@ -34,6 +46,7 @@ class NUTSConfig:
     init_step_size: float = struct.field(pytree_node=False, default=0.1)
     target_accept: float = struct.field(pytree_node=False, default=0.8)
     gibbs_sweeps: int = struct.field(pytree_node=False, default=1)
+    gibbs_max_colors: int = struct.field(pytree_node=False, default=0)
     adapt_mass: bool = struct.field(pytree_node=False, default=True)
     jitter: float = struct.field(pytree_node=False, default=1.0)
 
@@ -48,188 +61,295 @@ def _ctz(n):
     return _popcount((u & (~u + 1)) - 1)
 
 
-def _uturn(dq, p_l, p_r, inv_mass):
-    return (jnp.dot(dq, inv_mass * p_l) < 0.0) | (
-        jnp.dot(dq, inv_mass * p_r) < 0.0
+def _make_grad_lp(fg: CompiledFG, xd: Array):
+    """Batched (grad, logp) closure: [C, n] -> ([C, n], [C]).
+
+    Pure-quadratic continuous energy: one matmul serves both (the MXU fast
+    path — ``g = h − Jq`` and ``lp = c + ½ q·(h + g)``). Otherwise one
+    vmapped value_and_grad over ``fg.log_prob`` at the chains' current
+    discrete states.
+    """
+    if fg.cont_pure_quad:
+        J, h, c = fg.quad_J, fg.quad_h, fg.quad_c
+
+        def grad_lp(q):
+            g = h[None, :] - q @ J  # J symmetric by construction
+            lp = c + 0.5 * jnp.sum(q * (h[None, :] + g), axis=-1)
+            return g, lp
+
+        return grad_lp
+
+    vg = jax.vmap(jax.value_and_grad(lambda x, d: fg.log_prob(x, d)),
+                  in_axes=(0, 0))
+
+    def grad_lp(q):
+        lp, g = vg(q, xd)
+        return g, lp
+
+    return grad_lp
+
+
+class _NUTS(NamedTuple):
+    """Batched trajectory state. [C]-shaped unless noted."""
+
+    step: Array  # scalar: global leaf counter (RNG stream)
+    d: Array  # scalar: current doubling depth
+    j: Array  # scalar: leaf index within the current subtree
+    # trajectory ends and current integration point [C, n]
+    q_l: Array
+    p_l: Array
+    g_l: Array
+    q_r: Array
+    p_r: Array
+    g_r: Array
+    q: Array
+    p: Array
+    g: Array
+    q_prop: Array
+    sub_q_prop: Array
+    h0: Array
+    log_w: Array
+    sub_log_w: Array
+    sum_acc: Array
+    n_leaf: Array
+    dir: Array  # ±1.0 per chain
+    done: Array  # bool: trajectory complete
+    sub_bad: Array  # bool: current subtree turned/diverged
+    diverged: Array  # bool: sticky divergence flag (diagnostics)
+    depth_c: Array  # i32: completed doublings per chain
+    q_ck: Array  # [max_depth+1, C, n] checkpoint stack
+    p_ck: Array
+
+
+def _uturn_batched(dq, p_a, p_b, inv_mass):
+    """Generalized U-turn test, batched over chains: [C, n] -> [C] bool."""
+    im = inv_mass[None, :]
+    return (jnp.sum(dq * im * p_a, axis=-1) < 0.0) | (
+        jnp.sum(dq * im * p_b, axis=-1) < 0.0
     )
 
 
-def _nuts_step(logp, key, q0, eps, inv_mass, max_depth: int):
-    """One NUTS transition for a single chain. Returns (q1, accept_stat,
-    depth, diverged)."""
-    n = q0.shape[0]
-    grad = jax.grad(logp)
+def _nuts_sweep_batched(fg, key, xc, xd, eps, inv_mass, max_depth: int):
+    """One NUTS transition for ALL chains (lockstep shared leaf schedule).
+
+    Returns (xc', accept_stat [C], depth [C], diverged [C]).
+    """
+    C, n = xc.shape
+    grad_lp = _make_grad_lp(fg, xd)
     std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
 
     k_mom, k_loop = jax.random.split(key)
-    p0 = std * jax.random.normal(k_mom, (n,))
+    p0 = std[None, :] * jax.random.normal(k_mom, (C, n))
+    g0, lp0 = grad_lp(xc)
+    ke0 = 0.5 * jnp.sum(inv_mass[None, :] * p0 * p0, axis=-1)
+    h0 = -lp0 + ke0
 
-    def hamiltonian(q, p):
-        return -logp(q) + 0.5 * jnp.sum(inv_mass * p * p)
-
-    h0 = hamiltonian(q0, p0)
-
-    def leapfrog(q, p, direction):
-        e = direction * eps
-        p = p + 0.5 * e * grad(q)
-        q = q + e * inv_mass * p
-        p = p + 0.5 * e * grad(q)
-        return q, p
-
-    # trajectory state
-    class S(NamedTuple):
-        key: Array
-        q_l: Array
-        p_l: Array
-        q_r: Array
-        p_r: Array
-        q_prop: Array
-        log_w: Array  # multinomial total weight of trajectory
-        sum_acc: Array  # Σ min(1, exp(h0−h)) for accept-stat
-        n_leaf: Array
-        depth: Array
-        turning: Array
-        diverged: Array
-        q_ck: Array  # [max_depth+1, n] checkpoint positions
-        p_ck: Array
-
-    s0 = S(
-        key=k_loop,
-        q_l=q0, p_l=p0, q_r=q0, p_r=p0,
-        q_prop=q0,
-        log_w=jnp.zeros(()),
-        sum_acc=jnp.zeros(()),
-        n_leaf=jnp.ones((), jnp.int32),
-        depth=jnp.zeros((), jnp.int32),
-        turning=jnp.zeros((), bool),
-        diverged=jnp.zeros((), bool),
-        q_ck=jnp.zeros((max_depth + 1, n)),
-        p_ck=jnp.zeros((max_depth + 1, n)),
+    zs = jnp.zeros((C,))
+    s0 = _NUTS(
+        step=jnp.zeros((), jnp.int32),
+        d=jnp.zeros((), jnp.int32),
+        j=jnp.zeros((), jnp.int32),
+        q_l=xc, p_l=p0, g_l=g0,
+        q_r=xc, p_r=p0, g_r=g0,
+        q=xc, p=p0, g=g0,
+        q_prop=xc, sub_q_prop=xc,
+        h0=h0,
+        log_w=zs,
+        sub_log_w=jnp.full((C,), -jnp.inf),
+        sum_acc=zs,
+        n_leaf=jnp.zeros((C,), jnp.int32),
+        dir=jnp.ones((C,)),
+        done=jnp.zeros((C,), bool),
+        sub_bad=jnp.zeros((C,), bool),
+        diverged=jnp.zeros((C,), bool),
+        depth_c=jnp.zeros((C,), jnp.int32),
+        q_ck=jnp.zeros((max_depth + 1, C, n)),
+        p_ck=jnp.zeros((max_depth + 1, C, n)),
     )
 
-    def doubling_cond(s: S):
-        return (
-            (s.depth < max_depth) & (~s.turning) & (~s.diverged)
+    def start_subtree(s: _NUTS) -> _NUTS:
+        """Sample per-chain directions; move the integration point to the
+        chosen trajectory end; reset subtree accumulators."""
+        kd = jax.random.fold_in(jax.random.fold_in(k_loop, 1), s.step)
+        fwd = jax.random.bernoulli(kd, 0.5, (C,))
+        go = ~s.done
+        dr = jnp.where(go, jnp.where(fwd, 1.0, -1.0), s.dir)
+        pick = lambda r, l: jnp.where(fwd[:, None], r, l)
+        return s._replace(
+            dir=dr,
+            q=jnp.where(go[:, None], pick(s.q_r, s.q_l), s.q),
+            p=jnp.where(go[:, None], pick(s.p_r, s.p_l), s.p),
+            g=jnp.where(go[:, None], pick(s.g_r, s.g_l), s.g),
+            sub_q_prop=s.q,
+            sub_log_w=jnp.full((C,), -jnp.inf),
+            sub_bad=jnp.zeros((C,), bool),
         )
 
-    def doubling_body(s: S):
-        key, k_dir, k_merge, k_leaf = jax.random.split(s.key, 4)
-        direction = jnp.where(
-            jax.random.bernoulli(k_dir, 0.5), 1.0, -1.0
-        )
-        n_steps = 1 << s.depth  # subtree size = 2^depth
+    def leaf(s: _NUTS) -> _NUTS:
+        """One leapfrog leaf for every active chain (single batched grad)."""
+        active = ~s.done & ~s.sub_bad
+        e = (s.dir * eps)[:, None]
+        p_half = s.p + 0.5 * e * s.g
+        q_new = s.q + e * inv_mass[None, :] * p_half
+        g_new, lp_new = grad_lp(q_new)
+        p_new = p_half + 0.5 * e * g_new
 
-        # start from the chosen end
-        q_start = jnp.where(direction > 0, s.q_r, s.q_l)
-        p_start = jnp.where(direction > 0, s.p_r, s.p_l)
+        h = -lp_new + 0.5 * jnp.sum(inv_mass[None, :] * p_new * p_new, -1)
+        dh = h - s.h0
+        div = ~jnp.isfinite(dh) | (dh > _DIVERGENCE)
+        lw = jnp.where(div, -jnp.inf, -dh)
+        acc_term = jnp.where(jnp.isfinite(dh),
+                             jnp.minimum(1.0, jnp.exp(-dh)), 0.0)
 
-        class T(NamedTuple):
-            key: Array
-            q: Array
-            p: Array
-            q_prop: Array
-            log_w: Array
-            sum_acc: Array
-            i: Array
-            turning: Array
-            diverged: Array
-            q_ck: Array
-            p_ck: Array
+        # streaming multinomial proposal within the subtree
+        kl = jax.random.fold_in(jax.random.fold_in(k_loop, 2), s.step)
+        u = jax.random.uniform(kl, (C,))
+        sub_log_w = jnp.logaddexp(s.sub_log_w, jnp.where(active, lw, -jnp.inf))
+        take = active & (jnp.log(u) < (lw - sub_log_w)) & ~div
+        sub_q_prop = jnp.where(take[:, None], q_new, s.sub_q_prop)
 
-        def leaf_cond(t: T):
-            return (t.i < n_steps) & (~t.turning) & (~t.diverged)
+        am = active[:, None]
+        q = jnp.where(am, q_new, s.q)
+        p = jnp.where(am, p_new, s.p)
+        g = jnp.where(am, g_new, s.g)
 
-        def leaf_body(t: T):
-            key, k_sel = jax.random.split(t.key)
-            q, p = leapfrog(t.q, t.p, direction)
-            h = hamiltonian(q, p)
-            dh = h - h0
-            diverged = ~jnp.isfinite(dh) | (dh > _DIVERGENCE)
-            lw = -dh
-            sum_acc = t.sum_acc + jnp.minimum(1.0, jnp.exp(-dh))
+        # checkpoint even leaves at scalar slot popcount(j)
+        slot = _popcount(s.j)
+        is_even = (s.j % 2) == 0
 
-            # streaming multinomial proposal within the subtree
-            log_w = jnp.logaddexp(t.log_w, lw)
-            take = jnp.log(jax.random.uniform(k_sel, ())) < (lw - log_w)
-            q_prop = jnp.where(take & ~diverged, q, t.q_prop)
-
-            # checkpoint bookkeeping (indices within this subtree)
-            i = t.i
-            is_even = (i % 2) == 0
-            slot = _popcount(i)
-            q_ck = jnp.where(
-                is_even,
-                t.q_ck.at[slot].set(q),
-                t.q_ck,
-            )
-            p_ck = jnp.where(is_even, t.p_ck.at[slot].set(p), t.p_ck)
-
-            # U-turn checks for odd leaves against stored boundaries
-            def check_turn(turning):
-                n_checks = _ctz(i + 1)
-
-                def body(l, turn):
-                    b = i + 1 - (1 << (l + 1))
-                    sl = _popcount(b)
-                    dq = (q - q_ck[sl]) * direction
-                    return turn | _uturn(dq, p_ck[sl] * direction,
-                                         p * direction, inv_mass)
-
-                return jax.lax.fori_loop(0, n_checks, body, turning)
-
-            turning = jnp.where(is_even, t.turning, check_turn(t.turning))
-            return T(
-                key=key, q=q, p=p, q_prop=q_prop, log_w=log_w,
-                sum_acc=sum_acc, i=i + 1, turning=turning,
-                diverged=t.diverged | diverged, q_ck=q_ck, p_ck=p_ck,
+        def ck_write(ck, val):
+            cur = jax.lax.dynamic_slice_in_dim(ck, slot, 1, axis=0)[0]
+            new = jnp.where(am, val, cur)
+            return jax.lax.dynamic_update_slice_in_dim(
+                ck, new[None], slot, axis=0
             )
 
-        t0 = T(
-            key=k_leaf, q=q_start, p=p_start, q_prop=q_start,
-            log_w=jnp.full((), -jnp.inf),
-            sum_acc=jnp.zeros(()), i=jnp.zeros((), jnp.int32),
-            turning=jnp.zeros((), bool), diverged=jnp.zeros((), bool),
-            q_ck=jnp.zeros_like(s.q_ck), p_ck=jnp.zeros_like(s.p_ck),
+        q_ck = jax.lax.cond(
+            is_even, lambda: ck_write(s.q_ck, q_new), lambda: s.q_ck
         )
-        t = jax.lax.while_loop(leaf_cond, leaf_body, t0)
-
-        bad = t.turning | t.diverged
-
-        # merge subtree into trajectory (biased progressive sampling)
-        log_w_tot = jnp.logaddexp(s.log_w, t.log_w)
-        take_new = (
-            jnp.log(jax.random.uniform(k_merge, ())) < (t.log_w - s.log_w)
-        ) & ~bad
-        q_prop = jnp.where(take_new, t.q_prop, s.q_prop)
-
-        q_l = jnp.where(bad | (direction > 0), s.q_l, t.q)
-        p_l = jnp.where(bad | (direction > 0), s.p_l, t.p)
-        q_r = jnp.where(bad | (direction < 0), s.q_r, t.q)
-        p_r = jnp.where(bad | (direction < 0), s.p_r, t.p)
-
-        # global U-turn across the merged trajectory
-        turn_glob = _uturn(q_r - q_l, p_l, p_r, inv_mass)
-
-        return S(
-            key=key,
-            q_l=q_l, p_l=p_l, q_r=q_r, p_r=p_r,
-            q_prop=q_prop,
-            log_w=jnp.where(bad, s.log_w, log_w_tot),
-            sum_acc=s.sum_acc + t.sum_acc,
-            n_leaf=s.n_leaf + t.i,
-            depth=s.depth + 1,
-            turning=t.turning | turn_glob,
-            diverged=s.diverged | t.diverged,
-            q_ck=s.q_ck, p_ck=s.p_ck,
+        p_ck = jax.lax.cond(
+            is_even, lambda: ck_write(s.p_ck, p_new), lambda: s.p_ck
         )
 
-    # first leaf: the initial point itself carries weight exp(0)
-    s = jax.lax.while_loop(doubling_cond, doubling_body, s0)
-    accept_stat = s.sum_acc / jnp.maximum(s.n_leaf - 1, 1).astype(jnp.float32)
-    return s.q_prop, accept_stat, s.depth, s.diverged
+        # U-turn checks for odd leaves against stored subtree boundaries
+        def check_turn(turn):
+            n_checks = _ctz(s.j + 1)
+
+            def body(l, t):
+                b = s.j + 1 - (1 << (l + 1))
+                sl = _popcount(b)
+                qb = jax.lax.dynamic_slice_in_dim(q_ck, sl, 1, axis=0)[0]
+                pb = jax.lax.dynamic_slice_in_dim(p_ck, sl, 1, axis=0)[0]
+                dq = (q_new - qb) * s.dir[:, None]
+                return t | (
+                    active
+                    & _uturn_batched(
+                        dq,
+                        pb * s.dir[:, None],
+                        p_new * s.dir[:, None],
+                        inv_mass,
+                    )
+                )
+
+            return jax.lax.fori_loop(0, n_checks, body, turn)
+
+        turned = jax.lax.cond(
+            (s.j % 2) == 1, check_turn, lambda t: t,
+            jnp.zeros((C,), bool),
+        )
+        sub_bad = s.sub_bad | (active & (div | turned))
+        return s._replace(
+            q=q, p=p, g=g,
+            sub_q_prop=sub_q_prop,
+            sub_log_w=sub_log_w,
+            sum_acc=s.sum_acc + jnp.where(active, acc_term, 0.0),
+            n_leaf=s.n_leaf + active.astype(jnp.int32),
+            diverged=s.diverged | (active & div),
+            sub_bad=sub_bad,
+            q_ck=q_ck, p_ck=p_ck,
+            j=s.j + 1,
+            step=s.step + 1,
+        )
+
+    def merge(s: _NUTS) -> _NUTS:
+        """Fold the completed subtree into the trajectory (biased
+        progressive sampling), update the ends, global U-turn check."""
+        going = ~s.done
+        bad = s.sub_bad
+        km = jax.random.fold_in(jax.random.fold_in(k_loop, 3), s.step)
+        u = jax.random.uniform(km, (C,))
+        take_new = going & ~bad & (jnp.log(u) < (s.sub_log_w - s.log_w))
+        q_prop = jnp.where(take_new[:, None], s.sub_q_prop, s.q_prop)
+        log_w = jnp.where(
+            going & ~bad, jnp.logaddexp(s.log_w, s.sub_log_w), s.log_w
+        )
+
+        ok = (going & ~bad)[:, None]
+        fwd = s.dir[:, None] > 0
+        q_l = jnp.where(ok & ~fwd, s.q, s.q_l)
+        p_l = jnp.where(ok & ~fwd, s.p, s.p_l)
+        g_l = jnp.where(ok & ~fwd, s.g, s.g_l)
+        q_r = jnp.where(ok & fwd, s.q, s.q_r)
+        p_r = jnp.where(ok & fwd, s.p, s.p_r)
+        g_r = jnp.where(ok & fwd, s.g, s.g_r)
+
+        turn_glob = _uturn_batched(q_r - q_l, p_l, p_r, inv_mass)
+        done = s.done | bad | (going & turn_glob)
+        depth_c = jnp.where(going, s.d + 1, s.depth_c)
+        return s._replace(
+            q_l=q_l, p_l=p_l, g_l=g_l,
+            q_r=q_r, p_r=p_r, g_r=g_r,
+            q_prop=q_prop, log_w=log_w,
+            done=done, depth_c=depth_c,
+            d=s.d + 1, j=jnp.zeros((), jnp.int32),
+        )
+
+    def cond(s: _NUTS):
+        return jnp.any(~s.done) & (s.d < max_depth)
+
+    def body(s: _NUTS):
+        s = jax.lax.cond(s.j == 0, start_subtree, lambda x: x, s)
+        s = leaf(s)
+        return jax.lax.cond(s.j == (1 << s.d), merge, lambda x: x, s)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    accept = s.sum_acc / jnp.maximum(s.n_leaf, 1).astype(jnp.float32)
+    return s.q_prop, accept, s.depth_c, s.diverged
 
 
-@partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples"))
+def nuts_transition(fg: CompiledFG, cfg: NUTSConfig, state: "_hmc.HMCState",
+                    key, adapt: bool):
+    """One NUTS-within-Gibbs transition for all chains. Returns
+    ``(state, (acc [C], depth [C], div [C]))`` — the unit the run/warmup
+    scans and the checkpointed driver are built from."""
+    hcfg = _hmc.HMCConfig(
+        init_step_size=cfg.init_step_size,
+        target_accept=cfg.target_accept,
+        gibbs_sweeps=cfg.gibbs_sweeps,
+        gibbs_max_colors=cfg.gibbs_max_colors,
+        adapt_mass=cfg.adapt_mass,
+    )
+    k_g, k_n = jax.random.split(key)
+    xd = (_hmc.sweep_all(fg, hcfg, k_g, state.xc, state.xd)
+          if fg.n_disc else state.xd)
+    if fg.n_cont == 0:
+        C = state.xc.shape[0]
+        state = state._replace(xd=xd)
+        return state, (jnp.ones((C,)), jnp.zeros((C,), jnp.int32),
+                       jnp.zeros((C,), bool))
+    eps = jnp.exp(state.log_eps)
+    xc, acc, depth, div = _nuts_sweep_batched(
+        fg, k_n, state.xc, xd, eps, state.inv_mass, cfg.max_depth
+    )
+    state = state._replace(xc=xc, xd=xd)
+    if adapt:
+        state = _hmc._da_update(state, jnp.mean(acc), hcfg)
+        state = _hmc._welford_update(state, xc)
+    return state, (acc, depth, div)
+
+
+@partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples",
+                                   "thin", "collect", "shard"))
 def run_nuts(
     fg: CompiledFG,
     key: Array,
@@ -237,92 +357,96 @@ def run_nuts(
     n_chains: int = 8,
     n_warmup: int = 500,
     n_samples: int = 1000,
+    thin: int = 1,
+    collect: str = "samples",
+    shard=None,
 ):
-    """NUTS-within-Gibbs over the compiled graph; mirrors ``hmc.run_hmc``."""
+    """NUTS-within-Gibbs over the compiled graph; same contract as
+    ``hmc.run_hmc`` (collect="samples"|"moments", thin streams inside the
+    scan, shard distributes the chain axis over a mesh)."""
     k_init, k_warm, k_samp = jax.random.split(key, 3)
-    xc, xd = fg.init_state_batched(k_init, n_chains, cfg.jitter)
-
-    state = _hmc.HMCState(
-        xc=xc, xd=xd,
-        log_eps=jnp.log(jnp.asarray(cfg.init_step_size)),
-        log_eps_bar=jnp.log(jnp.asarray(cfg.init_step_size)),
-        h_bar=jnp.zeros(()), t=jnp.zeros(()),
-        welford_mean=jnp.zeros(fg.n_cont),
-        welford_m2=jnp.zeros(fg.n_cont),
-        welford_n=jnp.zeros(()),
-        inv_mass=jnp.ones(fg.n_cont),
-    )
-
     hcfg = _hmc.HMCConfig(
         init_step_size=cfg.init_step_size,
         target_accept=cfg.target_accept,
         gibbs_sweeps=cfg.gibbs_sweeps,
+        gibbs_max_colors=cfg.gibbs_max_colors,
         adapt_mass=cfg.adapt_mass,
+        jitter=cfg.jitter,
+    )
+    state = _hmc.init_hmc_state(fg, k_init, hcfg, n_chains, shard)
+
+    def transition(state, key, adapt):
+        return nuts_transition(fg, cfg, state, key, adapt)
+
+    state = _hmc.run_warmup(
+        fg, hcfg, state, k_warm, n_warmup,
+        lambda s, k, adapt: (lambda s2, o: (s2, o[0]))(
+            *transition(s, k, adapt)
+        ),
     )
 
-    def sweep_all(key, xc, xd):
-        if fg.n_disc == 0:
-            return xd
-        keys = jax.random.split(key, xc.shape[0])
-        return jax.vmap(lambda k, a, b: _hmc.gibbs_sweep(fg, k, a, b))(
-            keys, xc, xd
+    def sample_step(state, key):
+        def inner(t, carry):
+            state, _ = carry
+            state, stats = transition(state, jax.random.fold_in(key, t),
+                                      False)
+            return state, stats
+        C = state.xc.shape[0]
+        init_stats = (jnp.zeros((C,)), jnp.zeros((C,), jnp.int32),
+                      jnp.zeros((C,), bool))
+        state, (acc, depth, div) = jax.lax.fori_loop(
+            0, thin, inner, (state, init_stats)
         )
-
-    def transition(state: _hmc.HMCState, key, adapt: bool):
-        k_g, k_n = jax.random.split(key)
-        xd = sweep_all(k_g, state.xc, state.xd)
-        eps = jnp.exp(state.log_eps)
-        keys = jax.random.split(k_n, state.xc.shape[0])
-
-        def one(k, q, d):
-            logp = lambda x: fg.log_prob(x, d)
-            return _nuts_step(logp, k, q, eps, state.inv_mass, cfg.max_depth)
-
-        xc, acc, depth, div = jax.vmap(one)(keys, state.xc, xd)
-        state = state._replace(xc=xc, xd=xd)
-        if adapt:
-            state = _hmc._da_update(state, jnp.mean(acc), hcfg)
-            state = _hmc._welford_update(state, xc)
         return state, (acc, depth, div)
 
-    def warm_step(state, key):
-        state, (acc, depth, div) = transition(state, key, True)
-        return state, jnp.mean(acc)
-
-    if n_warmup > 0:
-        half = max(n_warmup // 2, 1)
-        state, _ = jax.lax.scan(warm_step, state,
-                                jax.random.split(k_warm, half))
-        if cfg.adapt_mass and fg.n_cont:
-            var = state.welford_m2 / jnp.maximum(state.welford_n - 1.0, 1.0)
-            state = state._replace(
-                inv_mass=jnp.where(state.welford_n > 10.0,
-                                   jnp.maximum(var, 1e-6), 1.0),
-                h_bar=jnp.zeros(()), t=jnp.zeros(()),
-                welford_mean=jnp.zeros(fg.n_cont),
-                welford_m2=jnp.zeros(fg.n_cont),
-                welford_n=jnp.zeros(()),
+    if collect == "moments":
+        def moment_step(carry, key):
+            state, s1, s2, cnt = carry
+            state, (acc, depth, div) = sample_step(state, key)
+            s1 = s1 + jnp.sum(state.xc, axis=0)
+            s2 = s2 + jnp.sum(state.xc * state.xc, axis=0)
+            if fg.n_disc:
+                oh = jax.nn.one_hot(state.xd, fg.max_v, dtype=jnp.float32)
+                cnt = cnt + jnp.sum(oh, axis=0)
+            return (state, s1, s2, cnt), (
+                jnp.mean(acc),
+                jnp.mean(depth.astype(jnp.float32)),
+                jnp.mean(div.astype(jnp.float32)),
             )
-        state, _ = jax.lax.scan(
-            warm_step, state,
-            jax.random.split(jax.random.fold_in(k_warm, 1), n_warmup - half),
+
+        z1 = jnp.zeros(fg.n_cont)
+        z2 = jnp.zeros(fg.n_cont)
+        zc = jnp.zeros((max(fg.n_disc, 1), fg.max_v))
+        (state, s1, s2, cnt), (accs, depths, divs) = jax.lax.scan(
+            moment_step, (state, z1, z2, zc),
+            jax.random.split(k_samp, n_samples),
         )
-        if cfg.adapt_mass and fg.n_cont:
-            var = state.welford_m2 / jnp.maximum(state.welford_n - 1.0, 1.0)
-            state = state._replace(
-                inv_mass=jnp.where(state.welford_n > 10.0,
-                                   jnp.maximum(var, 1e-6), 1.0)
-            )
-        state = state._replace(log_eps=state.log_eps_bar)
+        n_obs = n_samples * n_chains
+        mean = s1 / n_obs
+        var = jnp.maximum(s2 / n_obs - mean**2, 0.0)
+        moments = {
+            "mean": mean,
+            "var": var,
+            "disc_probs": cnt / n_obs,
+            "n_obs": n_obs,
+        }
+        diag = {
+            "accept_rate": jnp.mean(accs),
+            "mean_depth": jnp.mean(depths),
+            "divergence_rate": jnp.mean(divs),
+            "step_size": jnp.exp(state.log_eps),
+            "inv_mass": state.inv_mass,
+        }
+        return moments, None, diag
 
-    def sample_step(state, key):
-        state, (acc, depth, div) = transition(state, key, False)
+    def collect_step(state, key):
+        state, (acc, depth, div) = sample_step(state, key)
         return state, (state.xc, state.xd, jnp.mean(acc),
                        jnp.mean(depth.astype(jnp.float32)),
                        jnp.mean(div.astype(jnp.float32)))
 
     state, (s_xc, s_xd, accs, depths, divs) = jax.lax.scan(
-        sample_step, state, jax.random.split(k_samp, n_samples)
+        collect_step, state, jax.random.split(k_samp, n_samples)
     )
     diag = {
         "accept_rate": jnp.mean(accs),
@@ -334,7 +458,10 @@ def run_nuts(
     return s_xc, s_xd, diag
 
 
-def sample(fg: CompiledFG, key, **kw) -> "_hmc.HMCResult":
+def sample(fg: CompiledFG, key, **kw):
     cfg = kw.pop("cfg", NUTSConfig())
+    if kw.get("collect") == "moments":
+        moments, _, diag = run_nuts(fg, key, cfg, **kw)
+        return _hmc.HMCMoments(fg, moments, diag)
     s_xc, s_xd, diag = run_nuts(fg, key, cfg, **kw)
     return _hmc.HMCResult(fg, s_xc, s_xd, diag)

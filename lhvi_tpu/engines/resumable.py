@@ -1,0 +1,199 @@
+"""Checkpoint-in-the-loop sampling: chunked HMC/NUTS with resume.
+
+SURVEY.md §6 "checkpoint-restart is the recovery story … needed for pod
+runs" (the reference has no checkpointing at all). ``sample_checkpointed``
+runs warmup once, then samples in chunks of ``chunk_size`` transitions,
+persisting (sampler state, streamed moment sums, RNG bookkeeping) through
+``utils.checkpoint.CheckpointManager`` (orbax) after every chunk. A killed
+run re-invoked with the same arguments restores the latest chunk and
+continues; per-chunk keys are derived by ``fold_in(key, chunk_index)``, so
+an interrupted+resumed run produces BITWISE-identical moments to an
+uninterrupted one.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lhvi_tpu.fg.compile import CompiledFG
+from lhvi_tpu.engines import hmc as _hmc
+from lhvi_tpu.engines import nuts as _nuts
+
+
+def _payload_to_host(state, sums, chunks_done: int, n_chains: int):
+    # orbax refuses zero-size arrays (e.g. inv_mass on n_cont==0 models):
+    # omit them on save; restore rebuilds them from the shape template.
+    sd = {k: jax.device_get(v) for k, v in state._asdict().items()
+          if np.asarray(v).size}
+    return {
+        "state": sd,
+        "sums": {str(i): jax.device_get(v) for i, v in enumerate(sums)
+                 if np.asarray(v).size},
+        "chunks_done": chunks_done,
+        "n_chains": n_chains,
+    }
+
+
+def sample_checkpointed(
+    fg: CompiledFG,
+    key,
+    cfg=None,
+    *,
+    engine: str = "hmc",
+    n_chains: int = 8,
+    n_warmup: int = 500,
+    n_samples: int = 1000,
+    chunk_size: int = 100,
+    ckpt_dir: str,
+    shard=None,
+    max_to_keep: int = 3,
+    _interrupt_after: Optional[int] = None,
+):
+    """Run (or resume) a chunked sampling job; returns ``HMCMoments``.
+
+    ``_interrupt_after=k`` stops after persisting chunk k (returns None) —
+    the fault-injection hook the resume test uses to simulate preemption.
+    """
+    from lhvi_tpu.utils.checkpoint import CheckpointManager
+
+    if engine == "hmc":
+        cfg = cfg or _hmc.HMCConfig()
+        hcfg = cfg
+
+        def trans(state, k):
+            state, acc = _hmc.hmc_transition(fg, cfg, state, k, False)
+            return state, jnp.mean(acc)
+
+    elif engine == "nuts":
+        cfg = cfg or _nuts.NUTSConfig()
+        hcfg = _hmc.HMCConfig(
+            init_step_size=cfg.init_step_size,
+            target_accept=cfg.target_accept,
+            gibbs_sweeps=cfg.gibbs_sweeps,
+            gibbs_max_colors=cfg.gibbs_max_colors,
+            adapt_mass=cfg.adapt_mass,
+            jitter=cfg.jitter,
+        )
+
+        def trans(state, k):
+            state, (acc, _, _) = _nuts.nuts_transition(fg, cfg, state, k,
+                                                       False)
+            return state, jnp.mean(acc)
+
+    else:
+        raise ValueError(f"unknown engine {engine!r} (hmc|nuts)")
+
+    n_chunks = math.ceil(n_samples / chunk_size)
+    k_init, k_warm, k_samp = jax.random.split(key, 3)
+
+    def chunk_body(state, s1, s2, cnt, acc_sum, ckey, n: int):
+        def step(carry, k):
+            state, s1, s2, cnt, acc_sum = carry
+            state, acc = trans(state, k)
+            s1 = s1 + jnp.sum(state.xc, axis=0)
+            s2 = s2 + jnp.sum(state.xc * state.xc, axis=0)
+            if fg.n_disc:
+                oh = jax.nn.one_hot(state.xd, fg.max_v, dtype=jnp.float32)
+                cnt = cnt + jnp.sum(oh, axis=0)
+            return (state, s1, s2, cnt, acc_sum + acc), None
+
+        keys = jax.random.split(ckey, n)
+        (state, s1, s2, cnt, acc_sum), _ = jax.lax.scan(
+            step, (state, s1, s2, cnt, acc_sum), keys
+        )
+        return state, s1, s2, cnt, acc_sum
+
+    chunk_jit = jax.jit(chunk_body, static_argnums=6)
+
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep)
+    latest = mgr.latest_step()
+    if latest is None:
+        @jax.jit
+        def start():
+            state = _hmc.init_hmc_state(fg, k_init, hcfg, n_chains, shard)
+            state = _hmc.run_warmup(
+                fg, hcfg, state, k_warm, n_warmup,
+                lambda s, k, adapt: trans_adapt(s, k),
+            )
+            return state
+
+        def trans_adapt(s, k):
+            if engine == "hmc":
+                return _hmc.hmc_transition(fg, cfg, s, k, True)
+            s2, (acc, _, _) = _nuts.nuts_transition(fg, cfg, s, k, True)
+            return s2, acc
+
+        state = start()
+        sums = (
+            jnp.zeros(fg.n_cont),
+            jnp.zeros(fg.n_cont),
+            jnp.zeros((max(fg.n_disc, 1), fg.max_v)),
+            jnp.zeros(()),
+        )
+        chunks_done = 0
+        mgr.save(0, _payload_to_host(state, sums, 0, n_chains), wait=True)
+    else:
+        payload = mgr.restore(latest)
+        if payload["n_chains"] != n_chains:
+            raise ValueError(
+                f"checkpoint has n_chains={payload['n_chains']}, "
+                f"requested {n_chains}"
+            )
+        tmpl = jax.eval_shape(
+            lambda k: _hmc.init_hmc_state(fg, k, hcfg, n_chains), k_init
+        )
+        saved = payload["state"]
+        state = _hmc.HMCState(**{
+            k: (jnp.asarray(saved[k]) if k in saved
+                else jnp.zeros(t.shape, t.dtype))
+            for k, t in tmpl._asdict().items()
+        })
+        if shard is not None:
+            state = state._replace(
+                xc=jax.device_put(state.xc, shard),
+                xd=jax.device_put(state.xd, shard),
+            )
+        sum_shapes = (
+            (fg.n_cont,), (fg.n_cont,), (max(fg.n_disc, 1), fg.max_v), (),
+        )
+        saved_sums = payload["sums"]
+        sums = tuple(
+            jnp.asarray(saved_sums[str(i)]) if str(i) in saved_sums
+            else jnp.zeros(sh)
+            for i, sh in enumerate(sum_shapes)
+        )
+        chunks_done = int(payload["chunks_done"])
+
+    for c in range(chunks_done, n_chunks):
+        n = min(chunk_size, n_samples - c * chunk_size)
+        ckey = jax.random.fold_in(k_samp, c)
+        state, *sums = chunk_jit(state, *sums, ckey, n)
+        sums = tuple(sums)
+        mgr.save(c + 1, _payload_to_host(state, sums, c + 1, n_chains),
+                 wait=True)
+        if _interrupt_after is not None and (c + 1) >= _interrupt_after:
+            mgr.close()
+            return None
+    mgr.close()
+
+    s1, s2, cnt, acc_sum = sums
+    n_obs = n_samples * n_chains
+    mean = s1 / n_obs
+    var = jnp.maximum(s2 / n_obs - mean**2, 0.0)
+    moments = {
+        "mean": mean,
+        "var": var,
+        "disc_probs": cnt / n_obs,
+        "n_obs": n_obs,
+    }
+    diag = {
+        "accept_rate": acc_sum / n_samples,
+        "step_size": jnp.exp(state.log_eps),
+        "inv_mass": state.inv_mass,
+    }
+    return _hmc.HMCMoments(fg, moments, diag)

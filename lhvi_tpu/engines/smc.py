@@ -84,9 +84,17 @@ def _tempered_logp(fg: CompiledFG, cfg: SMCConfig, xc, xd, beta):
     )[0]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig()):
-    """Returns (xc [N,n_cont], xd [N,n_disc], log_w [N], log_z, diag)."""
+@partial(jax.jit, static_argnames=("cfg", "shard"))
+def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
+            shard=None):
+    """Returns (xc [N,n_cont], xd [N,n_disc], log_w [N], log_z, diag).
+
+    ``shard``: optional ``NamedSharding`` for the particle axis (e.g. from
+    ``lhvi_tpu.parallel.chain_sharding``). The whole anneal then runs with
+    particles distributed over the mesh: weight normalization/ESS become
+    psums and the systematic-resampling gather becomes all-gather +
+    permute collectives, all inserted by XLA.
+    """
     N = cfg.n_particles
     k0, key = jax.random.split(key)
     mid = 0.5 * (fg.cont_lo + fg.cont_hi)
@@ -95,6 +103,9 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig()):
     xd = jnp.floor(
         jax.random.uniform(kd, (N, fg.n_disc)) * fg.disc_sizes
     ).astype(jnp.int32)
+    if shard is not None:
+        xc = jax.lax.with_sharding_constraint(xc, shard)
+        xd = jax.lax.with_sharding_constraint(xd, shard)
 
     betas = jnp.linspace(0.0, 1.0, cfg.n_temps + 1)
 
@@ -121,7 +132,11 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig()):
         def do_resample(args):
             xc, xd, _ = args
             idx = systematic_resample(k_res, lw_norm, N)
-            return xc[idx], xd[idx], jnp.full(N, -jnp.log(1.0 * N))
+            xc, xd = xc[idx], xd[idx]
+            if shard is not None:
+                xc = jax.lax.with_sharding_constraint(xc, shard)
+                xd = jax.lax.with_sharding_constraint(xd, shard)
+            return xc, xd, jnp.full(N, -jnp.log(1.0 * N))
 
         need = ess < cfg.ess_frac * N
         xc, xd, log_w = jax.lax.cond(
@@ -241,6 +256,7 @@ class SMCResult:
         return rv.domain.values[int(p.argmax())]
 
 
-def sample(fg: CompiledFG, key, cfg: SMCConfig = SMCConfig()) -> SMCResult:
-    xc, xd, log_w, log_z, diag = run_smc(fg, key, cfg)
+def sample(fg: CompiledFG, key, cfg: SMCConfig = SMCConfig(),
+           shard=None) -> SMCResult:
+    xc, xd, log_w, log_z, diag = run_smc(fg, key, cfg, shard=shard)
     return SMCResult(fg, xc, xd, log_w, log_z, diag)

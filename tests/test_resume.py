@@ -1,0 +1,51 @@
+"""Checkpoint-in-the-loop + resume (VERDICT r1 missing #5 / next-round #7):
+a killed chunked run resumed with the same key produces BITWISE-identical
+streamed moments to an uninterrupted run."""
+
+import numpy as np
+import jax
+
+from lhvi_tpu import compile_graph
+from lhvi_tpu.engines import hmc
+from lhvi_tpu.engines.resumable import sample_checkpointed
+from lhvi_tpu.models.toy import hybrid_chain
+from lhvi_tpu.utils.oracle import ExactPosterior
+
+
+def test_resume_bitwise_identical(tmp_path):
+    g, (d, x1, x2) = hybrid_chain()
+    fg = compile_graph(g)
+    key = jax.random.PRNGKey(7)
+    kw = dict(engine="hmc", n_chains=16, n_warmup=100, n_samples=250,
+              chunk_size=100)
+
+    full = sample_checkpointed(fg, key, ckpt_dir=str(tmp_path / "full"), **kw)
+
+    # interrupted after chunk 1 of 3, then resumed
+    out = sample_checkpointed(fg, key, ckpt_dir=str(tmp_path / "part"),
+                              _interrupt_after=1, **kw)
+    assert out is None
+    resumed = sample_checkpointed(fg, key, ckpt_dir=str(tmp_path / "part"),
+                                  **kw)
+
+    for k in ("mean", "var", "disc_probs"):
+        assert np.array_equal(full.moments[k], resumed.moments[k]), k
+    assert np.array_equal(full.diag["accept_rate"],
+                          resumed.diag["accept_rate"])
+
+    # and the answers are actually right
+    exact = ExactPosterior(g, cont_grid=161)
+    assert abs(resumed.mean(x1) - exact.mean(x1)) < 0.12
+    assert np.abs(resumed.disc_marginal(d) - exact.disc_marginal(d)).max() < 0.08
+
+
+def test_resume_nuts_runs(tmp_path):
+    g, (d, x1, x2) = hybrid_chain()
+    fg = compile_graph(g)
+    res = sample_checkpointed(
+        fg, jax.random.PRNGKey(8), engine="nuts", n_chains=16, n_warmup=150,
+        n_samples=200, chunk_size=80, ckpt_dir=str(tmp_path / "n"),
+    )
+    exact = ExactPosterior(g, cont_grid=161)
+    assert abs(res.mean(x1) - exact.mean(x1)) < 0.12
+    assert abs(res.mean(x2) - exact.mean(x2)) < 0.12
