@@ -136,6 +136,108 @@ class EPBPConfig:
     q_var_floor: float = struct.field(pytree_node=False, default=1e-3)
 
 
+# --- message-update building blocks (shared by the run loop and the
+#     arbitrary-x query pass) ------------------------------------------------
+
+def _static_tables(fg: CompiledFG, P: int):
+    """(sup_idx i32[n_var,P], dmask f32[n_var,P]) support-index/valid tables."""
+    n_var = max(fg.n_cont + fg.n_disc, 1)
+    sup_idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (n_var, P))
+    dmask = (
+        jnp.arange(P)[None, :]
+        < jnp.concatenate(
+            [jnp.full(fg.n_cont, P, jnp.int32), fg.disc_sizes]
+        )[:n_var, None]
+    ).astype(jnp.float32)
+    return sup_idx, dmask
+
+
+def _slot_tables(bi: _BucketIdx, sup, sup_idx, which_new=None, sup_new=None):
+    """[n_f, a, P] slot values/indices from the support table; slot
+    ``which_new`` (if any) reads from ``sup_new`` instead."""
+    rows = sup[bi.gvid]  # [n_f, a, P]
+    if which_new is not None:
+        rows = rows.at[:, which_new, :].set(sup_new[bi.gvid[:, which_new]])
+    # observed slots: constant value at every position
+    vals = jnp.where(bi.lat[..., None] > 0, rows, bi.const[..., None])
+    idx = jnp.where(
+        bi.lat[..., None] > 0,
+        sup_idx[bi.gvid],
+        bi.const_idx[..., None],
+    )
+    return vals, idx
+
+
+def _log_q(fg: CompiledFG, sup, q_mu, q_var, P: int, n_var: int):
+    """Per-row log-proposal at support points (0 for discrete rows)."""
+    if fg.n_cont:
+        lq_c = -0.5 * (
+            (sup[: fg.n_cont] - q_mu[:, None]) ** 2 / q_var[:, None]
+            + jnp.log(2 * jnp.pi * q_var[:, None])
+        )
+    else:
+        lq_c = jnp.zeros((0, P))
+    return jnp.concatenate([lq_c, jnp.zeros((n_var - fg.n_cont, P))], 0)
+
+
+def _beliefs_of(msgs, bidx, plan, n_var: int, P: int):
+    # scatter-free belief assembly (see engines.lbp)
+    if not plan.idx:
+        return jnp.zeros((n_var, P))
+    flats = []
+    for bi, m in zip(bidx, msgs):
+        contrib = bi.w_edge[..., None] * m * bi.lat[..., None]
+        flats.append(contrib.transpose(1, 0, 2).reshape(-1, P))
+    flat = jnp.concatenate(flats + [jnp.zeros((1, P))], axis=0)
+    parts = [jnp.sum(flat[idx], axis=1) for idx in plan.idx]
+    return jnp.concatenate(parts, axis=0)[plan.pos_of_var]
+
+
+def _update_msgs(fg, bidx, plan, dmask, sup_idx, n_var: int, P: int,
+                 sup_old, msgs_old, lq_old, sup_new, normalize: bool = True):
+    """One synchronous message update targeting ``sup_new`` points.
+
+    ``normalize=False`` keeps per-edge constants intact so two passes from
+    the same (sup_old, msgs_old) state — e.g. a dense grid pass and an
+    arbitrary-x query pass — are on the same scale (reference
+    ``probability(x, rv)`` query parity, SURVEY.md §4.4; mount empty).
+    """
+    B_old = _beliefs_of(msgs_old, bidx, plan, n_var, P)
+    new_msgs = []
+    for b, bi, m_old in zip(fg.buckets, bidx, msgs_old):
+        a = bi.gvid.shape[1]
+        cav = B_old[bi.gvid] - m_old  # [n_f, a, P] at OLD particles
+        cav = cav - bi.is_cont[..., None] * (
+            lq_old[bi.gvid] + jnp.log(1.0 * P)
+        )
+        cav = jnp.where(dmask[bi.gvid] > 0, cav, _NEG)
+        cav = jnp.where(bi.lat[..., None] > 0, cav, 0.0)
+
+        upd = []
+        for p in range(a):
+            vals, idx = _slot_tables(bi, sup_old, sup_idx,
+                                     which_new=p, sup_new=sup_new)
+            lp = _eval_bucket_grid(b, bi, vals, idx, P)
+            for q in range(a):
+                if q == p:
+                    continue
+                shape = [1] * lp.ndim
+                shape[0] = lp.shape[0]
+                shape[1 + q] = P
+                lp = lp + cav[:, q, :].reshape(shape)
+            axes = tuple(1 + q for q in range(a) if q != p)
+            red = jax.scipy.special.logsumexp(lp, axis=axes) if axes else lp
+            upd.append(red)
+        m_new = jnp.stack(upd, 1)
+        if normalize:
+            m_new = m_new - jnp.max(
+                jnp.where(jnp.isfinite(m_new), m_new, -1e9), -1, keepdims=True
+            )
+        m_new = jnp.clip(jnp.nan_to_num(m_new, neginf=_NEG), _NEG, None)
+        new_msgs.append(m_new)
+    return tuple(new_msgs)
+
+
 class EPBP:
     """Engine facade mirroring the reference's ``EPBP(g).run(...)``."""
 
@@ -157,9 +259,17 @@ class EPBP:
         n_iters = n_iters or self.cfg.n_iters
         out = _epbp_run(self.fg, tuple(self.bidx), self.edge_plan, key,
                         self.cfg, n_iters)
+        (sup_grid, sup_idx, dmask, B, q_mu, q_var,
+         sup_final, msgs_final, lq_final) = out
         self.sup, self.sup_idx, self.sup_mask, self.B, self.q_mu, self.q_var = (
-            np.asarray(o) for o in out
+            np.asarray(o) for o in
+            (sup_grid, sup_idx, dmask, B, q_mu, q_var)
         )
+        # final message state kept on device for arbitrary-x belief queries
+        self._sup_grid_j = sup_grid
+        self._sup_j = sup_final
+        self._msgs_j = msgs_final
+        self._lq_j = lq_final
         return self
 
     # --- queries ----------------------------------------------------------
@@ -207,6 +317,57 @@ class EPBP:
             return float(self.sup[row][int(np.argmax(w))])
         return rv.domain.values[int(np.argmax(w[: rv.domain.size]))]
 
+    # --- arbitrary-x density queries (reference ``belief(x, rv)`` /
+    #     ``probability(x, rv)`` parity — SURVEY.md §4.4; mount empty) -----
+    def _query_logb(self, xs: np.ndarray, row: int):
+        """Log unnormalized message product at ``xs`` + grid log-normalizer."""
+        P = self.cfg.n_particles
+        grid = self.sup[row]
+        Brow = np.where(self.sup_mask[row] > 0, self.B[row], -np.inf)
+        bmax = float(Brow.max())
+        logZ = bmax + float(
+            np.log(np.trapezoid(np.exp(Brow - bmax), grid))
+        )
+        vals = np.empty(len(xs))
+        for s in range(0, len(xs), P):
+            blk = xs[s : s + P]
+            pad = np.pad(blk, (0, P - len(blk)), mode="edge")
+            bq = np.asarray(
+                _epbp_query(
+                    self.fg, tuple(self.bidx), self.edge_plan, self.cfg,
+                    self._sup_j, self._msgs_j, self._lq_j, self._sup_grid_j,
+                    row, jnp.asarray(pad, jnp.float32),
+                )
+            )
+            vals[s : s + len(blk)] = bq[: len(blk)]
+        return vals, logZ, bmax
+
+    def belief(self, x, rv):
+        """Normalized posterior density (continuous) / pmf (discrete) at
+        caller-supplied ``x`` (scalar or array) — evaluates a fresh message
+        pass at ``x``, not a table lookup."""
+        kind, row, _ = self._row(rv)
+        if kind == "d":
+            pmf = self.disc_marginal(rv)
+            xs = np.atleast_1d(x)
+            out = np.array([pmf[rv.domain.value_index(v)] for v in xs])
+            return float(out[0]) if np.ndim(x) == 0 else out
+        xs = np.atleast_1d(np.asarray(x, np.float64))
+        vals, logZ, _ = self._query_logb(xs, row)
+        out = np.exp(vals - logZ)
+        return float(out[0]) if np.ndim(x) == 0 else out
+
+    def probability(self, x, rv):
+        """Unnormalized message product Π m(x) at ``x`` (up to one per-run
+        constant shared with the belief grid, kept for overflow safety)."""
+        kind, row, _ = self._row(rv)
+        if kind == "d":
+            return self.belief(x, rv)
+        xs = np.atleast_1d(np.asarray(x, np.float64))
+        vals, _, bmax = self._query_logb(xs, row)
+        out = np.exp(vals - bmax)
+        return float(out[0]) if np.ndim(x) == 0 else out
+
 
 @partial(jax.jit, static_argnames=("cfg", "n_iters"))
 def _epbp_run(fg: CompiledFG, bidx, plan, key, cfg: EPBPConfig,
@@ -215,13 +376,7 @@ def _epbp_run(fg: CompiledFG, bidx, plan, key, cfg: EPBPConfig,
     n_var = max(fg.n_cont + fg.n_disc, 1)
 
     # static support rows for discrete vars; proposal-driven for continuous
-    sup_idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (n_var, P))
-    dmask = (
-        jnp.arange(P)[None, :]
-        < jnp.concatenate(
-            [jnp.full(fg.n_cont, P, jnp.int32), fg.disc_sizes]
-        )[:n_var, None]
-    ).astype(jnp.float32)
+    sup_idx, dmask = _static_tables(fg, P)
     disc_rows = jnp.zeros((max(fg.n_disc, 1), P))
     if fg.n_disc:
         disc_rows = jnp.pad(fg.disc_vals, ((0, 0), (0, P - fg.max_v)))
@@ -245,83 +400,10 @@ def _epbp_run(fg: CompiledFG, bidx, plan, key, cfg: EPBPConfig,
             jnp.zeros((n_var, P))
         )
 
-    def slot_tables(bi, sup, which_new=None, sup_new=None):
-        """[n_f, a, P] slot values/indices from the support table; slot
-        ``which_new`` (if any) reads from ``sup_new`` instead."""
-        rows = sup[bi.gvid]  # [n_f, a, P]
-        if which_new is not None:
-            rows = rows.at[:, which_new, :].set(sup_new[bi.gvid[:, which_new]])
-        # observed slots: constant value at every position
-        vals = jnp.where(bi.lat[..., None] > 0, rows, bi.const[..., None])
-        idx = jnp.where(
-            bi.lat[..., None] > 0,
-            sup_idx[bi.gvid],
-            bi.const_idx[..., None],
-        )
-        return vals, idx
-
-    def log_q(sup, q_mu, q_var):
-        """Per-row log-proposal at support points (0 for discrete rows)."""
-        if fg.n_cont:
-            lq_c = -0.5 * (
-                (sup[: fg.n_cont] - q_mu[:, None]) ** 2 / q_var[:, None]
-                + jnp.log(2 * jnp.pi * q_var[:, None])
-            )
-        else:
-            lq_c = jnp.zeros((0, P))
-        return jnp.concatenate([lq_c, jnp.zeros((n_var - fg.n_cont, P))], 0)
-
-    def beliefs_of(msgs, bidx):
-        # scatter-free belief assembly (see engines.lbp)
-        if not plan.idx:
-            return jnp.zeros((n_var, P))
-        flats = []
-        for bi, m in zip(bidx, msgs):
-            contrib = bi.w_edge[..., None] * m * bi.lat[..., None]
-            flats.append(contrib.transpose(1, 0, 2).reshape(-1, P))
-        flat = jnp.concatenate(flats + [jnp.zeros((1, P))], axis=0)
-        parts = [jnp.sum(flat[idx], axis=1) for idx in plan.idx]
-        return jnp.concatenate(parts, axis=0)[plan.pos_of_var]
-
-    def update_msgs(sup_old, msgs_old, lq_old, sup_new):
-        """One synchronous message update targeting ``sup_new`` points."""
-        B_old = beliefs_of(msgs_old, bidx)
-        new_msgs = []
-        for b, bi, m_old in zip(fg.buckets, bidx, msgs_old):
-            a = bi.gvid.shape[1]
-            cav = B_old[bi.gvid] - m_old  # [n_f, a, P] at OLD particles
-            cav = cav - bi.is_cont[..., None] * (
-                lq_old[bi.gvid] + jnp.log(1.0 * P)
-            )
-            cav = jnp.where(dmask[bi.gvid] > 0, cav, _NEG)
-            cav = jnp.where(bi.lat[..., None] > 0, cav, 0.0)
-
-            upd = []
-            for p in range(a):
-                vals, idx = slot_tables(bi, sup_old, which_new=p, sup_new=sup_new)
-                lp = _eval_bucket_grid(b, bi, vals, idx, P)
-                for q in range(a):
-                    if q == p:
-                        continue
-                    shape = [1] * lp.ndim
-                    shape[0] = lp.shape[0]
-                    shape[1 + q] = P
-                    lp = lp + cav[:, q, :].reshape(shape)
-                axes = tuple(1 + q for q in range(a) if q != p)
-                red = jax.scipy.special.logsumexp(lp, axis=axes) if axes else lp
-                upd.append(red)
-            m_new = jnp.stack(upd, 1)
-            m_new = m_new - jnp.max(
-                jnp.where(jnp.isfinite(m_new), m_new, -1e9), -1, keepdims=True
-            )
-            m_new = jnp.clip(jnp.nan_to_num(m_new, neginf=_NEG), _NEG, None)
-            new_msgs.append(m_new)
-        return tuple(new_msgs)
-
     def one_iter(carry, kk):
         sup_old, msgs_old, q_mu, q_var = carry
-        B_old = beliefs_of(msgs_old, bidx)
-        lq_old = log_q(sup_old, q_mu, q_var)
+        B_old = _beliefs_of(msgs_old, bidx, plan, n_var, P)
+        lq_old = _log_q(fg, sup_old, q_mu, q_var, P, n_var)
 
         # refit proposals from current beliefs (importance moment matching)
         if fg.n_cont:
@@ -339,7 +421,8 @@ def _epbp_run(fg: CompiledFG, bidx, plan, key, cfg: EPBPConfig,
         sup_new = jnp.concatenate(
             [sup_new[: fg.n_cont], sup_old[fg.n_cont :]], axis=0
         )
-        new_msgs = update_msgs(sup_old, msgs_old, lq_old, sup_new)
+        new_msgs = _update_msgs(fg, bidx, plan, dmask, sup_idx, n_var, P,
+                                sup_old, msgs_old, lq_old, sup_new)
         return (sup_new, new_msgs, q_mu, q_var), None
 
     k0, key = jax.random.split(key)
@@ -362,7 +445,28 @@ def _epbp_run(fg: CompiledFG, bidx, plan, key, cfg: EPBPConfig,
         sup_grid = jnp.concatenate([grid_rows, sup[fg.n_cont :]], axis=0)
     else:
         sup_grid = sup
-    lq = log_q(sup, q_mu, q_var)
-    msgs_grid = update_msgs(sup, msgs, lq, sup_grid)
-    B = beliefs_of(msgs_grid, bidx)
-    return sup_grid, sup_idx, dmask, B, q_mu, q_var
+    lq = _log_q(fg, sup, q_mu, q_var, P, n_var)
+    # UNNORMALIZED grid pass: shares per-edge constants with any later
+    # arbitrary-x query pass from the same (sup, msgs, lq) state.
+    msgs_grid = _update_msgs(fg, bidx, plan, dmask, sup_idx, n_var, P,
+                             sup, msgs, lq, sup_grid, normalize=False)
+    B = _beliefs_of(msgs_grid, bidx, plan, n_var, P)
+    return sup_grid, sup_idx, dmask, B, q_mu, q_var, sup, msgs, lq
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _epbp_query(fg: CompiledFG, bidx, plan, cfg: EPBPConfig,
+                sup, msgs, lq, sup_grid, row, xq):
+    """Belief row at caller-supplied points ``xq`` [P] for variable ``row``.
+
+    Runs one unnormalized message pass from the final EPBP state targeting
+    the grid support with ``row`` replaced by ``xq`` — same constants as
+    the stored grid beliefs, so exp(B_q − logZ_grid) is the density.
+    """
+    P = cfg.n_particles
+    n_var = max(fg.n_cont + fg.n_disc, 1)
+    sup_idx, dmask = _static_tables(fg, P)
+    sup_q = sup_grid.at[row].set(xq)
+    msgs_q = _update_msgs(fg, bidx, plan, dmask, sup_idx, n_var, P,
+                          sup, msgs, lq, sup_q, normalize=False)
+    return _beliefs_of(msgs_q, bidx, plan, n_var, P)[row]

@@ -49,6 +49,16 @@ class _BucketTables(NamedTuple):
     w_edge: Array  # f32 [n_f, a] lifted edge multiplicity scale_f/count_v
 
 
+class _QueryAux(NamedTuple):
+    """Per-bucket tables for re-evaluating log φ at arbitrary query points
+    (reference ``belief(x, rv)`` / ``probability(x, rv)`` parity —
+    SURVEY.md §4.5; mount empty)."""
+
+    slot_vals: Array  # f32 [n_f, a, S] support values (obs slots: const)
+    slot_idx: Array  # i32 [n_f, a, S] discrete value indices (0 for cont)
+    slot_valid: Array  # f32 [n_f, a, S] valid support positions per slot
+
+
 def _support(fg: CompiledFG):
     """Unified per-variable support table.
 
@@ -77,8 +87,13 @@ def _support(fg: CompiledFG):
 
 def _build_tables(fg: CompiledFG, sup_vals_np: np.ndarray,
                   sup_mask_np: np.ndarray, S: int):
-    """Precompute per-bucket factor tables over the support product grid."""
+    """Precompute per-bucket factor tables over the support product grid.
+
+    Returns (tables, aux): the iteration tables plus the per-slot support
+    tables needed to re-evaluate log φ at arbitrary query points.
+    """
     tables: List[_BucketTables] = []
+    aux_list: List[_QueryAux] = []
     for b, np_b in zip(fg.buckets, fg.meta.np_buckets):
         a = len(b.pattern)
         n_f = b.n_factors
@@ -120,6 +135,7 @@ def _build_tables(fg: CompiledFG, sup_vals_np: np.ndarray,
         # evaluate log φ on the product grid via broadcasting
         shape = (n_f,) + (S,) * a
         xc_axes, xdi_axes, xdv_axes = [], [], []
+        slot_idx = np.zeros((n_f, a, S), np.int64)
         ci = di = 0
         for p, is_cont in enumerate(b.pattern):
             bshape = [n_f] + [1] * a
@@ -129,17 +145,16 @@ def _build_tables(fg: CompiledFG, sup_vals_np: np.ndarray,
                 xc_axes.append(jnp.broadcast_to(jnp.asarray(vp), shape))
                 ci += 1
             else:
-                idx_grid = np.broadcast_to(
-                    np.arange(S).reshape([1] * (1 + p) + [S] + [1] * (a - p - 1)),
-                    shape,
-                )
                 # observed slots: fixed value index
-                idx_grid = np.where(
-                    (disc_mask[:, di] > 0).reshape([n_f] + [1] * a),
-                    idx_grid,
-                    disc_const[:, di].reshape([n_f] + [1] * a),
+                slot_idx[:, p, :] = np.where(
+                    disc_mask[:, di : di + 1] > 0,
+                    np.arange(S)[None, :],
+                    disc_const[:, di : di + 1],
                 )
-                xdi_axes.append(jnp.asarray(idx_grid, jnp.int32))
+                idx_grid = slot_idx[:, p, :].reshape(bshape)
+                xdi_axes.append(
+                    jnp.asarray(np.broadcast_to(idx_grid, shape), jnp.int32)
+                )
                 xdv_axes.append(jnp.broadcast_to(jnp.asarray(vp), shape))
                 di += 1
 
@@ -169,6 +184,7 @@ def _build_tables(fg: CompiledFG, sup_vals_np: np.ndarray,
         w_edge = np_b["scale"][:, None] / np.maximum(
             counts[np.clip(gvid, 0, max(len(counts) - 1, 0))], 1.0
         )
+        slot_valid = np.zeros((n_f, a, S), np.float32)
         for p in range(a):
             m = np.where(
                 lat[:, p : p + 1] > 0,
@@ -177,6 +193,7 @@ def _build_tables(fg: CompiledFG, sup_vals_np: np.ndarray,
                     [np.ones((n_f, 1)), np.zeros((n_f, S - 1))], axis=1
                 ),
             )  # observed slot: only position 0 valid
+            slot_valid[:, p, :] = m
             bshape = [n_f] + [1] * a
             bshape[1 + p] = S
             log_phi = jnp.where(
@@ -190,7 +207,14 @@ def _build_tables(fg: CompiledFG, sup_vals_np: np.ndarray,
                 w_edge=jnp.asarray(w_edge.astype(np.float32)),
             )
         )
-    return tables
+        aux_list.append(
+            _QueryAux(
+                slot_vals=jnp.asarray(np.stack(slot_vals, axis=1)),
+                slot_idx=jnp.asarray(slot_idx.astype(np.int32)),
+                slot_valid=jnp.asarray(slot_valid),
+            )
+        )
+    return tables, aux_list
 
 
 class HybridLBP:
@@ -213,7 +237,9 @@ class HybridLBP:
         self.sup_mask = jnp.asarray(sup_mask_np)
         self.sup_vals_np, self.sup_mask_np = sup_vals_np, sup_mask_np
         self.S = int(sup_vals_np.shape[1])
-        self.tables = _build_tables(fg, sup_vals_np, sup_mask_np, self.S)
+        self.tables, self.query_aux = _build_tables(
+            fg, sup_vals_np, sup_mask_np, self.S
+        )
         self.n_var = max(fg.n_cont + fg.n_disc, 1)
         self.msgs = None  # list of [n_f, a, S] per bucket
         self.beliefs_ = None
@@ -269,6 +295,74 @@ class HybridLBP:
         return float(vals[int(np.argmax(p))]) if kind == "c" else (
             rv.domain.values[int(np.argmax(p[: rv.domain.size]))]
         )
+
+    # --- arbitrary-x density queries (reference ``belief(x, rv)`` /
+    #     ``probability(x, rv)`` parity — SURVEY.md §4.5; mount empty) -----
+    def _query_logb(self, xs: np.ndarray, row: int):
+        """Log unnormalized message product at ``xs`` + grid log-normalizer.
+
+        Both come from the same fresh (undamped, unnormalized) factor→var
+        pass off the converged message state, so they share constants.
+        """
+        if self.msgs is None:
+            raise RuntimeError("call run() before density queries")
+        S = self.S
+        grid_full = self.sup_vals_np[row]
+        gmask = self.sup_mask_np[row] > 0
+        Bj = jnp.asarray(self.beliefs_)
+        bg = np.asarray(
+            _lbp_query(
+                self.fg, tuple(self.tables), tuple(self.query_aux),
+                self.msgs, Bj, jnp.int32(row),
+                jnp.asarray(grid_full, jnp.float32),
+            )
+        )
+        bg = np.where(gmask, bg, -np.inf)
+        bmax = float(bg.max())
+        grid = grid_full[gmask]
+        logZ = bmax + float(
+            np.log(np.trapezoid(np.exp(bg[gmask] - bmax), grid))
+        )
+        vals = np.empty(len(xs))
+        for s in range(0, len(xs), S):
+            blk = xs[s : s + S]
+            pad = np.pad(blk, (0, S - len(blk)), mode="edge")
+            bq = np.asarray(
+                _lbp_query(
+                    self.fg, tuple(self.tables), tuple(self.query_aux),
+                    self.msgs, Bj, jnp.int32(row),
+                    jnp.asarray(pad, jnp.float32),
+                )
+            )
+            vals[s : s + len(blk)] = bq[: len(blk)]
+        return vals, logZ, bmax
+
+    def belief(self, x, rv):
+        """Normalized posterior density (continuous) / pmf (discrete) at
+        caller-supplied ``x`` — evaluates the message product at ``x`` via
+        a fresh factor→var pass, not a support-table lookup."""
+        kind, i = self.fg.meta.loc(rv)
+        if kind == "d":
+            pmf = self.disc_marginal(rv)
+            xs = np.atleast_1d(x)
+            out = np.array([pmf[rv.domain.value_index(v)] for v in xs])
+            return float(out[0]) if np.ndim(x) == 0 else out
+        row = i
+        xs = np.atleast_1d(np.asarray(x, np.float64))
+        vals, logZ, _ = self._query_logb(xs, row)
+        out = np.exp(vals - logZ)
+        return float(out[0]) if np.ndim(x) == 0 else out
+
+    def probability(self, x, rv):
+        """Unnormalized message product Π m(x) at ``x`` (up to one per-run
+        constant shared with the belief grid, kept for overflow safety)."""
+        kind, i = self.fg.meta.loc(rv)
+        if kind == "d":
+            return self.belief(x, rv)
+        xs = np.atleast_1d(np.asarray(x, np.float64))
+        vals, _, bmax = self._query_logb(xs, i)
+        out = np.exp(vals - bmax)
+        return float(out[0]) if np.ndim(x) == 0 else out
 
 
 @partial(jax.jit, static_argnames=("n_var", "n_iters", "damping"))
@@ -328,3 +422,82 @@ def _lbp_iterate(tables, msgs, sup_mask, plan, n_var: int, n_iters: int,
 
     msgs, _ = jax.lax.scan(one_iter, msgs, None, length=n_iters)
     return msgs, beliefs_of(msgs)
+
+
+@jax.jit
+def _lbp_query(fg: CompiledFG, tables, aux_list, msgs, B, row, xq):
+    """Fresh factor→var pass for one variable at query points ``xq`` [S].
+
+    Re-evaluates every bucket kernel with each continuous slot substituted
+    by ``xq`` (other slots on their support grids), adds the converged
+    cavities, reduces, and sums the edge-weighted messages of the edges
+    incident to ``row``. Unnormalized and undamped, so a grid call and an
+    arbitrary-x call share constants.
+    """
+    S = xq.shape[0]
+    out = jnp.zeros(S)
+    for b, t, aux, m in zip(fg.buckets, tables, aux_list, msgs):
+        a = t.gvid.shape[1]
+        n_f = t.gvid.shape[0]
+        # var→factor cavities, normalized exactly as in the run loop
+        m_vf = B[t.gvid] - m
+        m_vf = jnp.where(t.lat[..., None] > 0, m_vf, 0.0)
+        m_vf = m_vf - jnp.max(
+            jnp.where(jnp.isfinite(m_vf), m_vf, -1e9), -1, keepdims=True
+        )
+        shape = (n_f,) + (S,) * a
+        for p, is_cont_p in enumerate(b.pattern):
+            if not is_cont_p:
+                continue  # arbitrary-x queries target continuous slots only
+            xc_axes, xdi_axes, xdv_axes = [], [], []
+            for q, is_cont in enumerate(b.pattern):
+                bshape = [n_f] + [1] * a
+                bshape[1 + q] = S
+                if q == p:
+                    vq = jnp.broadcast_to(
+                        jnp.broadcast_to(xq[None, :], (n_f, S)).reshape(bshape),
+                        shape,
+                    )
+                else:
+                    vq = jnp.broadcast_to(
+                        aux.slot_vals[:, q, :].reshape(bshape), shape
+                    )
+                if is_cont:
+                    xc_axes.append(vq)
+                else:
+                    xdi_axes.append(
+                        jnp.broadcast_to(
+                            aux.slot_idx[:, q, :].reshape(bshape), shape
+                        )
+                    )
+                    xdv_axes.append(vq)
+            xc = (
+                jnp.stack(xc_axes, -1) if xc_axes
+                else jnp.zeros(shape + (0,), jnp.float32)
+            )
+            xdi = (
+                jnp.stack(xdi_axes, -1) if xdi_axes
+                else jnp.zeros(shape + (0,), jnp.int32)
+            )
+            xdv = (
+                jnp.stack(xdv_axes, -1) if xdv_axes
+                else jnp.zeros(shape + (0,), jnp.float32)
+            )
+            params = expand_params(b.params, a)
+            g = b.kernel(params, xc, xdi, xdv)
+            g = jnp.clip(jnp.nan_to_num(g, neginf=_NEG), _NEG, None)
+            for q in range(a):
+                if q == p:
+                    continue
+                bshape = [n_f] + [1] * a
+                bshape[1 + q] = S
+                g = jnp.where(
+                    aux.slot_valid[:, q, :].reshape(bshape) > 0, g, _NEG
+                )
+                g = g + m_vf[:, q, :].reshape(bshape)
+            axes = tuple(1 + q for q in range(a) if q != p)
+            mq = jax.scipy.special.logsumexp(g, axis=axes) if axes else g
+            mq = jnp.clip(jnp.nan_to_num(mq, neginf=_NEG), _NEG, None)
+            sel = ((t.gvid[:, p] == row) & (t.lat[:, p] > 0)).astype(mq.dtype)
+            out = out + jnp.sum((t.w_edge[:, p] * sel)[:, None] * mq, axis=0)
+    return out

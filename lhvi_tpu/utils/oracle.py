@@ -113,6 +113,23 @@ class ExactPosterior:
         np.add.at(out, self.states_d[:, i], self.w)
         return out
 
+    def density(self, x, rv: RV):
+        """Exact marginal density of continuous ``rv`` at arbitrary ``x``.
+
+        Grid masses are converted to a density with trapezoid cell widths
+        and linearly interpolated at ``x`` (reference ``probability(x, rv)``
+        query parity — SURVEY.md §4.4/§4.5; mount empty).
+        """
+        i = [id(r) for r in self.cont].index(id(rv))
+        grid = self.cont_axes[id(rv)]
+        gi = np.searchsorted(grid, self.states_c[:, i])
+        mass = np.zeros(len(grid))
+        np.add.at(mass, np.clip(gi, 0, len(grid) - 1), self.w)
+        cell = np.gradient(grid)  # trapezoid cell widths (uniform grid: dx)
+        dens = mass / cell
+        out = np.interp(np.asarray(x, np.float64), grid, dens)
+        return float(out) if np.isscalar(x) or np.ndim(x) == 0 else out
+
     def map_state(self):
         """Most probable enumerated state (dict rv -> value)."""
         i = int(np.argmax(self.w))
