@@ -1,8 +1,16 @@
 """Benchmark harness (driver contract: print ONE JSON line).
 
-Metric: HMC samples/s/chip on the 10×10 Gaussian-grid MRF with evidence
-(BASELINE config 2) — one sample = one full HMC iteration of one chain
-(leapfrog(8) + accept), 1024 chains batched on the chip.
+Headline metric: HMC samples/s/chip on the 10×10 Gaussian-grid MRF with
+evidence (BASELINE config 2) — one sample = one full HMC iteration of one
+chain (leapfrog(8) + accept), 65536 chains batched on the chip.
+
+Extra fields (same JSON line, full BASELINE metric set):
+  nuts_samples_per_s      NUTS on the same grid, 65536 chains, max_depth=4
+  smc_particles_per_s     annealed-SMC particle-temperature-steps/s
+                          (8192 particles × 50 temperatures on the grid)
+  vi_steps_per_s          fused closed-form ELBO Adam steps/s (grid, K=8)
+  vi_lifted_steps_per_s   lifted quadrature-ELBO steps/s on the 103k-var
+                          friends-smokers-320 model (18 orbits, K=4)
 
 ``vs_baseline``: the reference is a single-machine pure-Python/numpy
 codebase with no published numbers (BASELINE.md), so the baseline is a
@@ -104,20 +112,120 @@ def tpu_throughput(g):
     return N_CHAINS * N_ITERS_TPU / dt, diag
 
 
+def _timed(fn, sync, reps=3):
+    """Median-of-``reps`` wall time of ``fn(rep)`` with honest host sync."""
+    sync(fn(0))  # warm-up: same static shapes, so timed calls are exec-only
+    times = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        sync(fn(1 + rep))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def nuts_throughput(g):
+    import jax
+    from lhvi_tpu import compile_graph
+    from lhvi_tpu.engines import nuts
+
+    fg = compile_graph(g)
+    cfg = nuts.NUTSConfig(max_depth=4, init_step_size=STEP, adapt_mass=False)
+    n_samples = 50
+
+    def run(rep):
+        moments, _, diag = nuts.run_nuts(
+            fg, jax.random.PRNGKey(rep), cfg,
+            n_chains=N_CHAINS, n_warmup=0, n_samples=n_samples,
+            collect="moments",
+        )
+        return moments
+
+    dt = _timed(run, lambda out: float(out["mean"][0]))
+    return N_CHAINS * n_samples / dt
+
+
+def smc_throughput(g):
+    import jax
+    from lhvi_tpu import compile_graph
+    from lhvi_tpu.engines import smc
+
+    fg = compile_graph(g)
+    cfg = smc.SMCConfig(n_particles=8192, n_temps=50)
+
+    def run(rep):
+        xc, xd, log_w, log_z, diag = smc.run_smc(
+            fg, jax.random.PRNGKey(rep), cfg
+        )
+        return log_z
+
+    dt = _timed(run, lambda lz: float(lz))
+    return cfg.n_particles * cfg.n_temps / dt
+
+
+def vi_throughput(g):
+    import jax
+    from lhvi_tpu import compile_graph
+    from lhvi_tpu.engines import vi
+
+    fg = compile_graph(g)
+    cfg = vi.VIConfig(K=8, n_iters=1000)
+
+    def run(rep):
+        params, trace = vi.fit(fg, jax.random.PRNGKey(rep), cfg)
+        return trace
+
+    dt = _timed(run, lambda tr: float(tr[-1]))
+    return cfg.n_iters / dt
+
+
+def vi_lifted_throughput(n_people=320):
+    import jax
+    from lhvi_tpu.engines import vi
+    from lhvi_tpu.lift import compile_lifted
+    from lhvi_tpu.models.relational import friends_smokers
+
+    rg = friends_smokers(n_people=n_people, hybrid=True)
+    for i in range(max(2, n_people // 10)):
+        rg.observe("smokes", (f"p{i}",), i % 2)
+    g, _ = rg.ground()
+    fg_l = compile_lifted(g)
+    cfg = vi.VIConfig(K=4, n_iters=300)
+
+    def run(rep):
+        params, trace = vi.fit(fg_l, jax.random.PRNGKey(rep), cfg)
+        return trace
+
+    dt = _timed(run, lambda tr: float(tr[-1]))
+    return cfg.n_iters / dt
+
+
 def main():
+    import jax
+
     g = build_model()
     tpu_sps, diag = tpu_throughput(g)
     base_sps = numpy_baseline(g)
-    print(
-        json.dumps(
-            {
-                "metric": "hmc_grid10x10_samples_per_s_per_chip",
-                "value": round(tpu_sps, 1),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(tpu_sps / base_sps, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "hmc_grid10x10_samples_per_s_per_chip",
+        "value": round(tpu_sps, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(tpu_sps / base_sps, 2),
+    }
+    # extra BASELINE metrics — each phase drops its executables afterwards
+    # (many large resident programs can crash this environment's TPU worker)
+    for name, fn in (
+        ("nuts_samples_per_s", lambda: nuts_throughput(g)),
+        ("smc_particles_per_s", lambda: smc_throughput(g)),
+        ("vi_steps_per_s", lambda: vi_throughput(g)),
+        ("vi_lifted_steps_per_s", vi_lifted_throughput),
+    ):
+        try:
+            out[name] = round(fn(), 1)
+        except Exception as e:  # noqa: BLE001 — keep the driver line intact
+            out[name] = None
+            print(f"# {name} failed: {e!r}"[:300], file=sys.stderr)
+        jax.clear_caches()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

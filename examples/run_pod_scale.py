@@ -85,11 +85,11 @@ def main():
     log.log("compile_grounded", wall_s=round(time.perf_counter() - t0, 2),
             n_cont=fg.n_cont, n_disc=fg.n_disc)
 
-    # cap Gibbs cost per iteration: dense MLN conflict graphs need ~n_people
-    # colors; rotate through 4 per sweep (random-scan kernel). Larger caps
-    # and chain counts can exceed this environment's AOT-compile limits.
-    hcfg = hmc.HMCConfig(n_leapfrog=6, init_step_size=0.1,
-                         gibbs_max_colors=4)
+    # gibbs_max_colors=0 → the compile-time per-color plan: FULL exact
+    # chromatic sweeps at O(Σ deg) kernel-row cost per sweep (the legacy
+    # rotated all-rows path needed gibbs_max_colors=4 to stay affordable
+    # and still cost ~40x more per iteration while updating ~1% of vars)
+    hcfg = hmc.HMCConfig(n_leapfrog=6, init_step_size=0.1)
 
     def measure(shard, n_chains, tag):
         # short dispatches: this environment kills single device executions

@@ -23,9 +23,10 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from lhvi_tpu.fg.compile import CompiledFG
+from lhvi_tpu.fg.compile import CompiledFG, expand_params
 
 Array = jax.Array
+_NEG_BIG = -1e30
 
 
 @struct.dataclass
@@ -99,6 +100,111 @@ def gibbs_sweep(fg: CompiledFG, key: Array, xc: Array, xd: Array,
     return xd
 
 
+def _color_class_logits(fg: CompiledFG, grp, tabs, xc, xd):
+    """Full-conditional logits ``[M, V]`` for one color class of a
+    ``GibbsColorPlan`` group; ``tabs`` are the group's tables sliced at
+    one color (leading [nc] axis removed)."""
+    V = fg.max_v
+    M = grp.n_vars
+    logits = jnp.zeros((M, V))
+    cand = jnp.arange(V, dtype=jnp.int32)
+    for b, t in zip(fg.buckets, tabs):
+        if t is None:
+            continue
+        R, ad = t["disc_idx"].shape
+        xcs = jnp.where(
+            t["cont_mask"] > 0,
+            xc[t["cont_idx"]] if xc.shape[0] else jnp.zeros_like(t["cont_const"]),
+            t["cont_const"],
+        )  # [R, ac]
+        xdi = jnp.where(
+            t["disc_mask"] > 0,
+            xd[t["disc_idx"]] if xd.shape[0] else jnp.zeros_like(t["disc_const"]),
+            t["disc_const"],
+        )  # [R, ad]
+        xdi_p = jnp.where(
+            t["sub"][:, None, :],
+            cand[None, :, None],
+            jnp.broadcast_to(xdi[:, None, :], (R, V, ad)),
+        )  # [R, V, ad] — all slots of the target var move jointly
+        vals = jnp.broadcast_to(
+            t["disc_vals"][:, None], (R, V, ad, t["disc_vals"].shape[-1])
+        )
+        xdv_p = jnp.take_along_axis(vals, xdi_p[..., None], axis=-1)[..., 0]
+        lp = b.kernel(
+            expand_params(t["params"], 1), xcs[:, None, :], xdi_p, xdv_p
+        )  # [R, V]
+        contrib = jnp.nan_to_num(lp, neginf=_NEG_BIG) * t["w"][:, None]
+        onehot = (t["tloc"][:, None] == jnp.arange(M)[None, :]).astype(
+            contrib.dtype
+        )
+        logits = logits + jnp.einsum("rm,rv->mv", onehot, contrib)
+    return logits
+
+
+def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
+                        xd: Array, beta=1.0) -> Array:
+    """One FULL exact chromatic sweep via the compile-time color plan.
+
+    Each scan step evaluates only the factor rows adjacent to that color's
+    variables (pre-gathered tables), so a full sweep costs O(Σ_v deg(v))
+    kernel rows — vs O(n_colors · n_factors) for the all-rows path. Colors
+    of similar cost share a scan (uniform padding); updating a subset of a
+    color class at a time is still valid parallel Gibbs (subsets of
+    independent sets are independent).
+    """
+    if fg.n_disc == 0:
+        return xd
+    V = fg.max_v
+    for gi, grp in enumerate(fg.color_plan.groups):
+        keys = jax.random.split(jax.random.fold_in(key, gi), grp.n_colors)
+
+        def step(xd, s, grp=grp):
+            logits = _color_class_logits(fg, grp, s["tabs"], xc, xd)
+            valid = (
+                jnp.arange(V, dtype=jnp.int32)[None, :] < s["sizes"][:, None]
+            )
+            logits = jnp.where(valid, beta * logits, _NEG_BIG)
+            new = jax.random.categorical(s["key"], logits, axis=-1).astype(
+                jnp.int32
+            )
+            # padded var slots carry id n_disc -> dropped by the scatter
+            xd = xd.at[s["vars"]].set(new, mode="drop")
+            return xd, None
+
+        xs = {
+            "key": keys,
+            "vars": grp.vars_,
+            "sizes": grp.sizes,
+            "tabs": grp.bucket_tabs,
+        }
+        xd, _ = jax.lax.scan(step, xd, xs)
+    return xd
+
+
+def planned_logits(fg: CompiledFG, xc: Array, xd: Array) -> Array:
+    """Assemble ``disc_logits``-shaped ``[n_disc, V]`` logits from the
+    color plan at a FIXED state (no sequential updates) — the exact-identity
+    hook used by tests to prove the plan matches ``CompiledFG.disc_logits``."""
+    V = fg.max_v
+    out = jnp.zeros((fg.n_disc + 1, V))
+    for grp in fg.color_plan.groups:
+        for j in range(grp.n_colors):
+            tabs = tuple(
+                None if t is None else jax.tree_util.tree_map(
+                    lambda a: a[j], t
+                )
+                for t in grp.bucket_tabs
+            )
+            lg = _color_class_logits(fg, grp, tabs, xc, xd)
+            out = out.at[grp.vars_[j]].set(lg, mode="drop")
+    out = out[: fg.n_disc]
+    valid = (
+        jnp.arange(V, dtype=jnp.int32)[None, :] < fg.disc_sizes[:, None]
+    )
+    return jnp.where(valid, out, _NEG_BIG)
+
+
 def _hmc_chain_step(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps, inv_mass):
     """One HMC proposal for a single chain (vmapped over chains)."""
     k_mom, k_acc = jax.random.split(key)
@@ -150,13 +256,26 @@ def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
 
 
 def sweep_all(fg: CompiledFG, cfg: HMCConfig, key, xc, xd):
-    """cfg.gibbs_sweeps chromatic sweeps over all chains."""
+    """cfg.gibbs_sweeps chromatic sweeps over all chains.
+
+    Uses the compile-time per-color plan (full exact sweeps at
+    O(Σ deg) cost) when available; ``gibbs_max_colors > 0`` keeps the
+    legacy rotated all-rows path (random-scan with capped per-iteration
+    cost — mostly obsolete now that full planned sweeps are cheaper than
+    one rotated legacy step).
+    """
+    planned = fg.color_plan is not None and cfg.gibbs_max_colors == 0
     for _ in range(cfg.gibbs_sweeps):
         keys = jax.random.split(key, xc.shape[0] + 1)
         key = keys[0]
-        xd = jax.vmap(
-            lambda k, a, b: gibbs_sweep(fg, k, a, b, cfg.gibbs_max_colors)
-        )(keys[1:], xc, xd)
+        if planned:
+            xd = jax.vmap(
+                lambda k, a, b: gibbs_sweep_planned(fg, k, a, b)
+            )(keys[1:], xc, xd)
+        else:
+            xd = jax.vmap(
+                lambda k, a, b: gibbs_sweep(fg, k, a, b, cfg.gibbs_max_colors)
+            )(keys[1:], xc, xd)
     return xd
 
 
@@ -293,8 +412,16 @@ def run_hmc(
     state = run_warmup(fg, cfg, state, k_warm, n_warmup, trans)
 
     def sample_step(state: HMCState, key):
-        state, acc = trans(state, key, False)
-        return state, (state.xc, state.xd, jnp.mean(acc))
+        # thin streams INSIDE the scan step: only every thin-th state is
+        # emitted, so the retained array is [n_samples, C, n] — never the
+        # un-thinned [n_samples*thin, C, n]
+        def inner(t, carry):
+            state, _ = carry
+            state, acc = trans(state, jax.random.fold_in(key, t), False)
+            return state, jnp.mean(acc)
+
+        state, acc = jax.lax.fori_loop(0, thin, inner, (state, 0.0))
+        return state, (state.xc, state.xd, acc)
 
     if collect == "moments":
         def moment_step(carry, key):
@@ -331,10 +458,8 @@ def run_hmc(
         return moments, None, diag
 
     state, (s_xc, s_xd, accs) = jax.lax.scan(
-        sample_step, state, jax.random.split(k_samp, n_samples * thin)
+        sample_step, state, jax.random.split(k_samp, n_samples)
     )
-    s_xc = s_xc[:: thin] if thin > 1 else s_xc
-    s_xd = s_xd[:: thin] if thin > 1 else s_xd
     diag = {
         "accept_rate": jnp.mean(accs),
         "step_size": jnp.exp(state.log_eps),

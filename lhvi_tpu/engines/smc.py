@@ -170,23 +170,33 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
             else:
                 acc = jnp.ones(N, bool)
 
-            # tempered Gibbs for discrete latents
+            # tempered Gibbs for discrete latents (planned per-color
+            # tables when compiled — see hmc.gibbs_sweep_planned)
             if fg.n_disc:
-                def gibbs_one(kg_i, xc_i, xd_i):
-                    def color_step(xd_i, cinp):
-                        kk, c = cinp
-                        logits = beta * fg.disc_logits(xc_i, xd_i)
-                        new = jax.random.categorical(kk, logits, -1).astype(
-                            jnp.int32
+                if fg.color_plan is not None:
+                    from lhvi_tpu.engines.hmc import gibbs_sweep_planned
+
+                    xd = jax.vmap(
+                        lambda kg_i, xc_i, xd_i: gibbs_sweep_planned(
+                            fg, kg_i, xc_i, xd_i, beta=beta
                         )
-                        return jnp.where(fg.color_of == c, new, xd_i), None
+                    )(jax.random.split(kg, N), xc, xd)
+                else:
+                    def gibbs_one(kg_i, xc_i, xd_i):
+                        def color_step(xd_i, cinp):
+                            kk, c = cinp
+                            logits = beta * fg.disc_logits(xc_i, xd_i)
+                            new = jax.random.categorical(
+                                kk, logits, -1
+                            ).astype(jnp.int32)
+                            return jnp.where(fg.color_of == c, new, xd_i), None
 
-                    ks = jax.random.split(kg_i, fg.n_colors)
-                    colors = jnp.arange(fg.n_colors, dtype=jnp.int32)
-                    out, _ = jax.lax.scan(color_step, xd_i, (ks, colors))
-                    return out
+                        ks = jax.random.split(kg_i, fg.n_colors)
+                        colors = jnp.arange(fg.n_colors, dtype=jnp.int32)
+                        out, _ = jax.lax.scan(color_step, xd_i, (ks, colors))
+                        return out
 
-                xd = jax.vmap(gibbs_one)(jax.random.split(kg, N), xc, xd)
+                    xd = jax.vmap(gibbs_one)(jax.random.split(kg, N), xc, xd)
             return (xc, xd), jnp.mean(acc.astype(jnp.float32))
 
         (xc, xd), accs = jax.lax.scan(

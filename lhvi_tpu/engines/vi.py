@@ -333,11 +333,30 @@ class VIResult:
         if kind == "d":
             probs = self.disc_marginal(rv)
             return rv.domain.values[int(probs.argmax())]
-        # mixture mode via the component with max weighted density at its mean
+        # mixture MODE: argmax of the actual mixture density (a w_k/σ_k
+        # component heuristic is silently wrong for overlapping
+        # components) — dense grid over the mixture support + parabolic
+        # refinement of the winning cell
         mu = np.asarray(self.params.mu)[:, i]
         s = np.exp(np.asarray(self.params.log_sigma)[:, i])
-        score = self.w / s
-        return float(mu[int(score.argmax())])
+        lo = float((mu - 4.0 * s).min())
+        hi = float((mu + 4.0 * s).max())
+        grid = np.linspace(lo, hi, 2049)
+        dens = np.sum(
+            self.w[:, None]
+            * np.exp(-0.5 * ((grid[None, :] - mu[:, None]) / s[:, None]) ** 2)
+            / (s[:, None] * np.sqrt(2 * np.pi)),
+            axis=0,
+        )
+        j = int(np.argmax(dens))
+        if 0 < j < len(grid) - 1:
+            # parabola through the three points around the max
+            y0, y1, y2 = dens[j - 1], dens[j], dens[j + 1]
+            denom = y0 - 2.0 * y1 + y2
+            if denom < 0:
+                dx = 0.5 * (y0 - y2) / denom
+                return float(grid[j] + dx * (grid[1] - grid[0]))
+        return float(grid[j])
 
 
 def infer(fg: CompiledFG, key, cfg: VIConfig = VIConfig()) -> VIResult:

@@ -167,6 +167,38 @@ class GibbsGather:
 
 
 @struct.dataclass
+class GibbsColorGroup:
+    """One scan-group of a ``GibbsColorPlan``: colors of similar cost,
+    padded to uniform shapes so a single ``lax.scan`` sweeps them.
+
+    Per color the tables hold EXACTLY the factor rows adjacent to that
+    color's variables (pre-gathered at compile time), so a full exact
+    chromatic sweep costs O(Σ_v deg(v)) kernel-row evaluations instead of
+    the old O(n_colors · n_factors) all-rows-every-color pass — the
+    pod-scale Gibbs hot-path fix (SURVEY.md §3.2 "chromatic Gibbs";
+    BASELINE north-star log-potential kernel, mount empty).
+
+    ``bucket_tabs[i]`` is ``None`` when bucket ``i`` has no rows in this
+    group; otherwise a dict of arrays with leading dims ``[nc, R]``:
+    pre-gathered bucket slot tables plus ``sub`` (slots referencing the
+    target variable — substituted jointly by the candidate value), ``w``
+    (factor scale; 0 = padding), ``tloc`` (target's position in the color
+    class), and ``params`` (pre-gathered per-factor kernel params).
+    """
+
+    n_colors: int = struct.field(pytree_node=False)
+    n_vars: int = struct.field(pytree_node=False)  # M = padded class size
+    vars_: Array  # i32 [nc, M] global discrete var ids (pad = n_disc)
+    sizes: Array  # i32 [nc, M] domain sizes (pad = 1)
+    bucket_tabs: Tuple  # per bucket: None | dict of [nc, R, …] arrays
+
+
+@struct.dataclass
+class GibbsColorPlan:
+    groups: Tuple[GibbsColorGroup, ...]
+
+
+@struct.dataclass
 class CompiledFG:
     """Compiled factor graph: the array IR all engines consume.
 
@@ -198,6 +230,7 @@ class CompiledFG:
     quad_h: Array  # f32 [n_cont]
     quad_c: Array  # f32 scalar
     gibbs: GibbsGather
+    color_plan: Any = None  # GibbsColorPlan | None (per-color Gibbs tables)
 
     # ------------------------------------------------------------------
     @property
@@ -333,6 +366,7 @@ def compile_graph(
     disc_counts: np.ndarray = None,
     fuse_quadratic: bool = True,
     quad_max_n: int = 4096,
+    gibbs_plan: bool = True,
 ) -> CompiledFG:
     """Compile a host ``Graph`` into the array IR.
 
@@ -512,6 +546,7 @@ def compile_graph(
             "disc_vals": pad(d_vals),
             "disc_size": pad(d_size),
             "scale": scale_p,
+            "params": params,  # numpy mirrors (color-plan pre-gather)
         }
         meta.np_buckets.append(np_b)
         buckets.append(
@@ -563,6 +598,11 @@ def compile_graph(
     )
 
     gibbs = _build_gibbs_gather(meta.np_buckets, n_disc)
+    color_plan = (
+        _build_color_plan(meta.np_buckets, n_disc, color_of, disc_sizes)
+        if gibbs_plan
+        else None
+    )
     meta.np_global = {
         "disc_sizes": disc_sizes,
         "disc_vals": disc_vals,
@@ -595,6 +635,7 @@ def compile_graph(
         quad_h=quad_h,
         quad_c=quad_c,
         gibbs=gibbs,
+        color_plan=color_plan,
     )
 
 
@@ -702,6 +743,171 @@ def build_edge_gather(np_buckets: List[Dict[str, np.ndarray]],
             all_vars.append(gv[mask].astype(np.int64))
             off += n_f
     return _group_gather(all_vars, all_rows, off, n_cont + n_disc)
+
+
+def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
+                      color_of: np.ndarray, disc_sizes: np.ndarray,
+                      row_cap: int = 50_000_000):
+    """Compile the per-color Gibbs tables (see ``GibbsColorGroup``).
+
+    For every (factor, discrete-var) adjacency edge, records the factor row,
+    the slot-substitution mask (all slots referencing that var — matching
+    ``disc_logits``'s joint-substitution semantics), the factor scale, and
+    the target's position inside its color class. Edges are grouped by
+    color, colors are grouped into power-of-two cost buckets (bounded
+    padding), and every bucket's slot tables/params are pre-gathered per
+    color so the runtime sweep only gathers *state* values.
+
+    Returns ``None`` (fallback to the all-rows path) when there are no
+    discrete latents, no edges, or the padded tables would exceed
+    ``row_cap`` rows.
+    """
+    if n_disc == 0:
+        return None
+    n_colors = int(color_of.max() + 1)
+
+    # --- per-bucket (factor, var) edges with joint substitution masks ----
+    bucket_edges = []
+    for np_b in np_buckets:
+        ad = np_b["disc_idx"].shape[1]
+        if ad == 0:
+            bucket_edges.append(None)
+            continue
+        d_idx, d_mask, scale = (
+            np_b["disc_idx"], np_b["disc_mask"], np_b["scale"]
+        )
+        keys, slots = [], []
+        for p in range(ad):
+            r = np.nonzero((d_mask[:, p] > 0) & (scale > 0))[0]
+            keys.append(r.astype(np.int64) * n_disc + d_idx[r, p])
+            slots.append(np.full(len(r), p, np.int64))
+        keys = np.concatenate(keys) if keys else np.zeros(0, np.int64)
+        if len(keys) == 0:
+            bucket_edges.append(None)
+            continue
+        slots = np.concatenate(slots)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sub = np.zeros((len(uniq), ad), bool)
+        sub[inv, slots] = True
+        edge_r = (uniq // n_disc).astype(np.int64)
+        edge_v = (uniq % n_disc).astype(np.int64)
+        bucket_edges.append(
+            (edge_r, edge_v, sub, np_b["scale"][edge_r].astype(np.float32))
+        )
+    if all(e is None for e in bucket_edges):
+        return None
+
+    # --- color classes ----------------------------------------------------
+    order = np.argsort(color_of, kind="stable")
+    counts = np.bincount(color_of, minlength=n_colors)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    tloc_of_var = np.zeros(n_disc, np.int64)
+    tloc_of_var[order] = np.arange(n_disc) - starts[color_of[order]]
+
+    # per bucket: edges sorted by target color, with per-color slices
+    b_sorted = []
+    for e in bucket_edges:
+        if e is None:
+            b_sorted.append(None)
+            continue
+        edge_r, edge_v, sub, w = e
+        ec = color_of[edge_v]
+        eo = np.argsort(ec, kind="stable")
+        ecounts = np.bincount(ec, minlength=n_colors)
+        estarts = np.concatenate([[0], np.cumsum(ecounts)])
+        b_sorted.append(
+            (edge_r[eo], edge_v[eo], sub[eo], w[eo], ecounts, estarts)
+        )
+
+    cost = np.zeros(n_colors, np.int64)
+    for e in b_sorted:
+        if e is not None:
+            cost += e[4]
+
+    def _bits(x: np.ndarray) -> np.ndarray:
+        return np.ceil(np.log2(np.maximum(x, 1) + 1)).astype(np.int64)
+
+    gkey = _bits(cost) * 64 + _bits(counts)
+    group_ids = {}
+    for c in range(n_colors):
+        group_ids.setdefault(int(gkey[c]), []).append(c)
+
+    # padded-size guard (fall back rather than OOM the host/device)
+    total_rows = 0
+    for colors in group_ids.values():
+        for e in b_sorted:
+            if e is not None:
+                total_rows += len(colors) * int(e[4][colors].max())
+    if total_rows > row_cap:
+        return None
+
+    groups = []
+    for _, colors in sorted(group_ids.items()):
+        nc = len(colors)
+        M = int(counts[colors].max())
+        M = max(M, 1)
+        vars_g = np.full((nc, M), n_disc, np.int64)
+        sizes_g = np.ones((nc, M), np.int64)
+        for j, c in enumerate(colors):
+            members = order[starts[c] : starts[c] + counts[c]]
+            vars_g[j, : len(members)] = members
+            sizes_g[j, : len(members)] = disc_sizes[members]
+
+        tabs = []
+        for np_b, e in zip(np_buckets, b_sorted):
+            if e is None:
+                tabs.append(None)
+                continue
+            edge_r, edge_v, sub, w, ecounts, estarts = e
+            R = int(ecounts[colors].max())
+            if R == 0:
+                tabs.append(None)
+                continue
+            eid = np.zeros((nc, R), np.int64)  # pad: edge 0 with w=0
+            valid = np.zeros((nc, R), bool)
+            for j, c in enumerate(colors):
+                k = ecounts[c]
+                eid[j, :k] = np.arange(estarts[c], estarts[c] + k)
+                valid[j, :k] = True
+            fr = edge_r[eid]  # [nc, R] factor rows
+            tabs.append(
+                {
+                    "cont_idx": jnp.asarray(
+                        np_b["cont_idx"][fr].astype(np.int32)
+                    ),
+                    "cont_mask": jnp.asarray(np_b["cont_mask"][fr]),
+                    "cont_const": jnp.asarray(np_b["cont_const"][fr]),
+                    "disc_idx": jnp.asarray(
+                        np_b["disc_idx"][fr].astype(np.int32)
+                    ),
+                    "disc_mask": jnp.asarray(np_b["disc_mask"][fr]),
+                    "disc_const": jnp.asarray(
+                        np_b["disc_const"][fr].astype(np.int32)
+                    ),
+                    "disc_vals": jnp.asarray(np_b["disc_vals"][fr]),
+                    "params": {
+                        k: jnp.asarray(v[fr])
+                        for k, v in np_b["params"].items()
+                    },
+                    "sub": jnp.asarray(sub[eid]),
+                    "w": jnp.asarray(
+                        np.where(valid, w[eid], 0.0).astype(np.float32)
+                    ),
+                    "tloc": jnp.asarray(
+                        tloc_of_var[edge_v[eid]].astype(np.int32)
+                    ),
+                }
+            )
+        groups.append(
+            GibbsColorGroup(
+                n_colors=nc,
+                n_vars=M,
+                vars_=jnp.asarray(vars_g.astype(np.int32)),
+                sizes=jnp.asarray(sizes_g.astype(np.int32)),
+                bucket_tabs=tuple(tabs),
+            )
+        )
+    return GibbsColorPlan(groups=tuple(groups))
 
 
 def _greedy_color(g: Graph, meta: FGMeta, n_disc: int) -> np.ndarray:

@@ -53,3 +53,36 @@ def test_epbp_rejects_small_particle_count():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_epbp_arity3_hybrid_factor():
+    """Ternary factors (2 discrete + 1 continuous): the O(P^3) grid path."""
+    from lhvi_tpu.potentials import MLNPotential, TablePotential
+
+    b = Domain([0, 1])
+    z1, z2 = RV(b, name="z1"), RV(b, name="z2")
+    x = RV(Domain([-6, 6], continuous=True), name="x")
+    g = Graph(
+        [z1, z2, x],
+        [
+            F(TablePotential([0.7, 0.3]), [z1]),
+            F(TablePotential([[2.0, 1.0], [1.0, 2.0]]), [z1, z2]),
+            F(
+                MLNPotential(
+                    lambda a: -a[0] * a[1] * (a[2] - 2.0) ** 2
+                    - (1.0 - a[0] * a[1]) * (a[2] + 1.0) ** 2 * 0.5,
+                    w=0.8,
+                    formula_name="gate_mean",
+                ),
+                [z1, z2, x],
+            ),
+        ],
+    )
+    exact = ExactPosterior(g, cont_grid=161)
+    fg = compile_graph(g)
+    eng = EPBP(fg, EPBPConfig(n_particles=64, n_iters=40)).run(
+        jax.random.PRNGKey(2)
+    )
+    assert np.abs(eng.disc_marginal(z1) - exact.disc_marginal(z1)).max() < 0.08
+    assert np.abs(eng.disc_marginal(z2) - exact.disc_marginal(z2)).max() < 0.08
+    assert abs(eng.mean(x) - exact.mean(x)) < 0.3
