@@ -135,10 +135,10 @@ def _color_class_logits(fg: CompiledFG, grp, tabs, xc, xd):
             expand_params(t["params"], 1), xcs[:, None, :], xdi_p, xdv_p
         )  # [R, V]
         contrib = jnp.nan_to_num(lp, neginf=_NEG_BIG) * t["w"][:, None]
-        onehot = (t["tloc"][:, None] == jnp.arange(M)[None, :]).astype(
-            contrib.dtype
-        )
-        logits = logits + jnp.einsum("rm,rv->mv", onehot, contrib)
+        # scatter-free per-var reduction: vidx [M, D] indexes this color's
+        # rows (R = appended zero row)
+        contrib = jnp.concatenate([contrib, jnp.zeros((1, V))], axis=0)
+        logits = logits + jnp.sum(contrib[t["vidx"]], axis=1)
     return logits
 
 

@@ -49,6 +49,10 @@ class NUTSConfig:
     gibbs_max_colors: int = struct.field(pytree_node=False, default=0)
     adapt_mass: bool = struct.field(pytree_node=False, default=True)
     jitter: float = struct.field(pytree_node=False, default=1.0)
+    # fused Pallas trajectory kernel on pure-quadratic TPU targets.
+    # run_nuts force-disables it for sharded chain axes: a pallas_call
+    # does not SPMD-partition, so multi-chip runs use the XLA path.
+    pallas: bool = struct.field(pytree_node=False, default=True)
 
 
 def _popcount(n):
@@ -129,11 +133,21 @@ def _uturn_batched(dq, p_a, p_b, inv_mass):
     )
 
 
-def _nuts_sweep_batched(fg, key, xc, xd, eps, inv_mass, max_depth: int):
+def _nuts_sweep_batched(fg, key, xc, xd, eps, inv_mass, max_depth: int,
+                        use_pallas: bool = True):
     """One NUTS transition for ALL chains (lockstep shared leaf schedule).
 
     Returns (xc', accept_stat [C], depth [C], diverged [C]).
+
+    Pure-quadratic targets on TPU route through the fused Pallas
+    trajectory kernel (``ops.nuts_traj`` — whole tree VMEM-resident per
+    chain block); this XLA formulation is the fallback for hybrid /
+    non-quadratic models, sharded chain axes, and CPU test meshes.
     """
+    if use_pallas and fg.cont_pure_quad and jax.default_backend() == "tpu":
+        from lhvi_tpu.ops.nuts_traj import nuts_trajectory
+
+        return nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth)
     C, n = xc.shape
     grad_lp = _make_grad_lp(fg, xd)
     std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
@@ -339,7 +353,8 @@ def nuts_transition(fg: CompiledFG, cfg: NUTSConfig, state: "_hmc.HMCState",
                        jnp.zeros((C,), bool))
     eps = jnp.exp(state.log_eps)
     xc, acc, depth, div = _nuts_sweep_batched(
-        fg, k_n, state.xc, xd, eps, state.inv_mass, cfg.max_depth
+        fg, k_n, state.xc, xd, eps, state.inv_mass, cfg.max_depth,
+        use_pallas=cfg.pallas,
     )
     state = state._replace(xc=xc, xd=xd)
     if adapt:
@@ -374,6 +389,8 @@ def run_nuts(
         jitter=cfg.jitter,
     )
     state = _hmc.init_hmc_state(fg, k_init, hcfg, n_chains, shard)
+    if shard is not None and cfg.pallas:
+        cfg = cfg.replace(pallas=False)  # pallas_call does not partition
 
     def transition(state, key, adapt):
         return nuts_transition(fg, cfg, state, key, adapt)

@@ -71,6 +71,8 @@ def sample_checkpointed(
 
     elif engine == "nuts":
         cfg = cfg or _nuts.NUTSConfig()
+        if shard is not None and cfg.pallas:
+            cfg = cfg.replace(pallas=False)  # pallas_call doesn't partition
         hcfg = _hmc.HMCConfig(
             init_step_size=cfg.init_step_size,
             target_accept=cfg.target_accept,

@@ -182,8 +182,9 @@ class GibbsColorGroup:
     group; otherwise a dict of arrays with leading dims ``[nc, R]``:
     pre-gathered bucket slot tables plus ``sub`` (slots referencing the
     target variable — substituted jointly by the candidate value), ``w``
-    (factor scale; 0 = padding), ``tloc`` (target's position in the color
-    class), and ``params`` (pre-gathered per-factor kernel params).
+    (factor scale; 0 = padding), ``vidx`` ([nc, M, D] per-var gather into
+    the color's row block; index R = zero row), and ``params``
+    (pre-gathered per-factor kernel params).
     """
 
     n_colors: int = struct.field(pytree_node=False)
@@ -797,6 +798,24 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
     if all(e is None for e in bucket_edges):
         return None
 
+    def _bits(x: np.ndarray) -> np.ndarray:
+        return np.ceil(np.log2(np.maximum(x, 1) + 1)).astype(np.int64)
+
+    # --- degree-refined coloring ------------------------------------------
+    # Splitting a color class by per-var degree keeps it a proper coloring
+    # (subsets of independent sets are independent) and stops one
+    # high-degree var trapped in a huge low-degree class from inflating the
+    # [M, D] gather padding to O(M·deg_max) (467 MB observed at pod scale).
+    deg_v = np.zeros(n_disc, np.int64)
+    for e in bucket_edges:
+        if e is not None:
+            deg_v += np.bincount(e[1], minlength=n_disc)
+    key2 = color_of.astype(np.int64) * 64 + _bits(deg_v)
+    _, color_eff = np.unique(key2, return_inverse=True)
+    color_eff = color_eff.astype(np.int64)
+    n_colors = int(color_eff.max() + 1)
+    color_of = color_eff
+
     # --- color classes ----------------------------------------------------
     order = np.argsort(color_of, kind="stable")
     counts = np.bincount(color_of, minlength=n_colors)
@@ -824,10 +843,16 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
         if e is not None:
             cost += e[4]
 
-    def _bits(x: np.ndarray) -> np.ndarray:
-        return np.ceil(np.log2(np.maximum(x, 1) + 1)).astype(np.int64)
+    # max per-var degree per color (bounds the [M, D] gather padding)
+    dmax = np.zeros(n_colors, np.int64)
+    for e in b_sorted:
+        if e is None:
+            continue
+        _, edge_v = e[0], e[1]
+        per_var = np.bincount(edge_v, minlength=n_disc)
+        np.maximum.at(dmax, color_of[edge_v], per_var[edge_v])
 
-    gkey = _bits(cost) * 64 + _bits(counts)
+    gkey = (_bits(cost) * 64 + _bits(counts)) * 64 + _bits(dmax)
     group_ids = {}
     for c in range(n_colors):
         group_ids.setdefault(int(gkey[c]), []).append(c)
@@ -863,12 +888,26 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
             if R == 0:
                 tabs.append(None)
                 continue
+            D = max(int(dmax[colors].max()), 1)
             eid = np.zeros((nc, R), np.int64)  # pad: edge 0 with w=0
             valid = np.zeros((nc, R), bool)
+            # per-var gather into the color's row block: vidx[j, m, k] is
+            # the position (0..R-1) of class-var m's k-th contribution row;
+            # R = the appended zero row (scatter-free reduction — a [R, M]
+            # one-hot einsum would be O(R·M) memory, 4.6 GB at pod scale)
+            vidx = np.full((nc, M, D), R, np.int64)
             for j, c in enumerate(colors):
                 k = ecounts[c]
-                eid[j, :k] = np.arange(estarts[c], estarts[c] + k)
+                sl = slice(estarts[c], estarts[c] + k)
+                ov = np.argsort(edge_v[sl], kind="stable")
+                eid[j, :k] = np.arange(estarts[c], estarts[c] + k)[ov]
                 valid[j, :k] = True
+                tl = tloc_of_var[edge_v[sl][ov]]
+                _, first, cnts_v = np.unique(
+                    tl, return_index=True, return_counts=True
+                )
+                occ = np.arange(k) - np.repeat(first, cnts_v)
+                vidx[j, tl, occ] = np.arange(k)
             fr = edge_r[eid]  # [nc, R] factor rows
             tabs.append(
                 {
@@ -893,9 +932,7 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                     "w": jnp.asarray(
                         np.where(valid, w[eid], 0.0).astype(np.float32)
                     ),
-                    "tloc": jnp.asarray(
-                        tloc_of_var[edge_v[eid]].astype(np.int32)
-                    ),
+                    "vidx": jnp.asarray(vidx.astype(np.int32)),
                 }
             )
         groups.append(

