@@ -16,6 +16,13 @@ slots at OLD particles) are evaluated as batched bucket tensors and reduced
 with reshape+logsumexp — the O(P^|f|) hot loop of SURVEY.md §4.4 becomes a
 handful of fused XLA reductions per bucket per iteration. Particle
 resampling is `jax.random` keyed, so runs are replayable.
+
+Grid axes are per-slot: continuous slots use P particle sites, discrete
+slots use their true domain size, so a hybrid factor costs
+O(P^n_cont · V^n_disc) instead of O(P^arity) and a large discrete domain
+never forces a large particle count (support tables are
+``max(P, max_v)`` wide; the valid prefix per row is P for continuous and
+the domain size for discrete).
 """
 
 from __future__ import annotations
@@ -95,24 +102,31 @@ def _index_buckets(fg: CompiledFG) -> List[_BucketIdx]:
     return out
 
 
-def _eval_bucket_grid(b, bi: _BucketIdx, slot_vals, slot_idx, P: int):
+def _eval_bucket_grid(b, bi: _BucketIdx, slot_vals, slot_idx,
+                      sizes: tuple):
     """log φ over the product grid given per-slot support tables.
 
-    slot_vals: [n_f, a, P] values; slot_idx: i32 [n_f, a, P] value indices
-    (discrete slots). Returns [n_f, P, …, P] (a grid axes).
+    slot_vals: [n_f, a, W] values; slot_idx: i32 [n_f, a, W] value indices
+    (discrete slots); ``sizes[p]`` is slot p's grid-axis length (P for
+    continuous, domain size for discrete). Returns
+    [n_f, sizes[0], …, sizes[a-1]].
     """
     a = bi.gvid.shape[1]
     n_f = bi.gvid.shape[0]
-    shape = (n_f,) + (P,) * a
+    shape = (n_f,) + tuple(sizes)
     xc_axes, xdi_axes, xdv_axes = [], [], []
     for p, is_cont in enumerate(b.pattern):
         bshape = [n_f] + [1] * a
-        bshape[1 + p] = P
-        vp = jnp.broadcast_to(slot_vals[:, p, :].reshape(bshape), shape)
+        bshape[1 + p] = sizes[p]
+        vp = jnp.broadcast_to(
+            slot_vals[:, p, : sizes[p]].reshape(bshape), shape
+        )
         if is_cont:
             xc_axes.append(vp)
         else:
-            ip = jnp.broadcast_to(slot_idx[:, p, :].reshape(bshape), shape)
+            ip = jnp.broadcast_to(
+                slot_idx[:, p, : sizes[p]].reshape(bshape), shape
+            )
             xdi_axes.append(ip)
             xdv_axes.append(vp)
     xc = (
@@ -139,12 +153,26 @@ class EPBPConfig:
 # --- message-update building blocks (shared by the run loop and the
 #     arbitrary-x query pass) ------------------------------------------------
 
+def _table_width(fg: CompiledFG, P: int) -> int:
+    """Support-table width: P particle sites for continuous rows, the
+    full domain for discrete rows — whichever is larger."""
+    return max(P, fg.max_v, 1)
+
+
+def _slot_sizes(b, P: int, max_v: int) -> tuple:
+    """Per-slot grid-axis lengths for one bucket's factors."""
+    return tuple(P if is_cont else max_v for is_cont in b.pattern)
+
+
 def _static_tables(fg: CompiledFG, P: int):
-    """(sup_idx i32[n_var,P], dmask f32[n_var,P]) support-index/valid tables."""
+    """(sup_idx i32[n_var,W], dmask f32[n_var,W]) support-index/valid
+    tables; valid prefix is P for continuous rows, domain size for
+    discrete rows."""
+    W = _table_width(fg, P)
     n_var = max(fg.n_cont + fg.n_disc, 1)
-    sup_idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (n_var, P))
+    sup_idx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None], (n_var, W))
     dmask = (
-        jnp.arange(P)[None, :]
+        jnp.arange(W)[None, :]
         < jnp.concatenate(
             [jnp.full(fg.n_cont, P, jnp.int32), fg.disc_sizes]
         )[:n_var, None]
@@ -168,7 +196,7 @@ def _slot_tables(bi: _BucketIdx, sup, sup_idx, which_new=None, sup_new=None):
     return vals, idx
 
 
-def _log_q(fg: CompiledFG, sup, q_mu, q_var, P: int, n_var: int):
+def _log_q(fg: CompiledFG, sup, q_mu, q_var, W: int, n_var: int):
     """Per-row log-proposal at support points (0 for discrete rows)."""
     if fg.n_cont:
         lq_c = -0.5 * (
@@ -176,19 +204,19 @@ def _log_q(fg: CompiledFG, sup, q_mu, q_var, P: int, n_var: int):
             + jnp.log(2 * jnp.pi * q_var[:, None])
         )
     else:
-        lq_c = jnp.zeros((0, P))
-    return jnp.concatenate([lq_c, jnp.zeros((n_var - fg.n_cont, P))], 0)
+        lq_c = jnp.zeros((0, W))
+    return jnp.concatenate([lq_c, jnp.zeros((n_var - fg.n_cont, W))], 0)
 
 
-def _beliefs_of(msgs, bidx, plan, n_var: int, P: int):
+def _beliefs_of(msgs, bidx, plan, n_var: int, W: int):
     # scatter-free belief assembly (see engines.lbp)
     if not plan.idx:
-        return jnp.zeros((n_var, P))
+        return jnp.zeros((n_var, W))
     flats = []
     for bi, m in zip(bidx, msgs):
         contrib = bi.w_edge[..., None] * m * bi.lat[..., None]
-        flats.append(contrib.transpose(1, 0, 2).reshape(-1, P))
-    flat = jnp.concatenate(flats + [jnp.zeros((1, P))], axis=0)
+        flats.append(contrib.transpose(1, 0, 2).reshape(-1, W))
+    flat = jnp.concatenate(flats + [jnp.zeros((1, W))], axis=0)
     parts = [jnp.sum(flat[idx], axis=1) for idx in plan.idx]
     return jnp.concatenate(parts, axis=0)[plan.pos_of_var]
 
@@ -202,11 +230,14 @@ def _update_msgs(fg, bidx, plan, dmask, sup_idx, n_var: int, P: int,
     arbitrary-x query pass — are on the same scale (reference
     ``probability(x, rv)`` query parity, SURVEY.md §4.4; mount empty).
     """
-    B_old = _beliefs_of(msgs_old, bidx, plan, n_var, P)
+    W = _table_width(fg, P)
+    max_v = max(fg.max_v, 1)
+    B_old = _beliefs_of(msgs_old, bidx, plan, n_var, W)
     new_msgs = []
     for b, bi, m_old in zip(fg.buckets, bidx, msgs_old):
         a = bi.gvid.shape[1]
-        cav = B_old[bi.gvid] - m_old  # [n_f, a, P] at OLD particles
+        sizes = _slot_sizes(b, P, max_v)
+        cav = B_old[bi.gvid] - m_old  # [n_f, a, W] at OLD particles
         cav = cav - bi.is_cont[..., None] * (
             lq_old[bi.gvid] + jnp.log(1.0 * P)
         )
@@ -217,16 +248,19 @@ def _update_msgs(fg, bidx, plan, dmask, sup_idx, n_var: int, P: int,
         for p in range(a):
             vals, idx = _slot_tables(bi, sup_old, sup_idx,
                                      which_new=p, sup_new=sup_new)
-            lp = _eval_bucket_grid(b, bi, vals, idx, P)
+            lp = _eval_bucket_grid(b, bi, vals, idx, sizes)
             for q in range(a):
                 if q == p:
                     continue
                 shape = [1] * lp.ndim
                 shape[0] = lp.shape[0]
-                shape[1 + q] = P
-                lp = lp + cav[:, q, :].reshape(shape)
+                shape[1 + q] = sizes[q]
+                lp = lp + cav[:, q, : sizes[q]].reshape(shape)
             axes = tuple(1 + q for q in range(a) if q != p)
             red = jax.scipy.special.logsumexp(lp, axis=axes) if axes else lp
+            if sizes[p] < W:  # pad the target axis back to table width
+                red = jnp.pad(red, ((0, 0), (0, W - sizes[p])),
+                              constant_values=_NEG)
             upd.append(red)
         m_new = jnp.stack(upd, 1)
         if normalize:
@@ -242,8 +276,6 @@ class EPBP:
     """Engine facade mirroring the reference's ``EPBP(g).run(...)``."""
 
     def __init__(self, fg: CompiledFG, cfg: EPBPConfig = EPBPConfig()):
-        if fg.max_v > cfg.n_particles:
-            raise ValueError("n_particles must be >= largest discrete domain")
         from lhvi_tpu.fg.compile import build_edge_gather
 
         self.fg = fg
@@ -322,8 +354,10 @@ class EPBP:
     def _query_logb(self, xs: np.ndarray, row: int):
         """Log unnormalized message product at ``xs`` + grid log-normalizer."""
         P = self.cfg.n_particles
-        grid = self.sup[row]
-        Brow = np.where(self.sup_mask[row] > 0, self.B[row], -np.inf)
+        W = _table_width(self.fg, P)
+        valid = self.sup_mask[row] > 0
+        grid = self.sup[row][valid]
+        Brow = self.B[row][valid]
         bmax = float(Brow.max())
         logZ = bmax + float(
             np.log(np.trapezoid(np.exp(Brow - bmax), grid))
@@ -331,7 +365,7 @@ class EPBP:
         vals = np.empty(len(xs))
         for s in range(0, len(xs), P):
             blk = xs[s : s + P]
-            pad = np.pad(blk, (0, P - len(blk)), mode="edge")
+            pad = np.pad(blk, (0, W - len(blk)), mode="edge")
             bq = np.asarray(
                 _epbp_query(
                     self.fg, tuple(self.bidx), self.edge_plan, self.cfg,
@@ -373,13 +407,14 @@ class EPBP:
 def _epbp_run(fg: CompiledFG, bidx, plan, key, cfg: EPBPConfig,
               n_iters: int):
     P = cfg.n_particles
+    W = _table_width(fg, P)
     n_var = max(fg.n_cont + fg.n_disc, 1)
 
     # static support rows for discrete vars; proposal-driven for continuous
     sup_idx, dmask = _static_tables(fg, P)
-    disc_rows = jnp.zeros((max(fg.n_disc, 1), P))
+    disc_rows = jnp.zeros((max(fg.n_disc, 1), W))
     if fg.n_disc:
-        disc_rows = jnp.pad(fg.disc_vals, ((0, 0), (0, P - fg.max_v)))
+        disc_rows = jnp.pad(fg.disc_vals, ((0, 0), (0, W - fg.max_v)))
 
     mid = 0.5 * (fg.cont_lo + fg.cont_hi)
     q_mu0 = mid
@@ -388,22 +423,23 @@ def _epbp_run(fg: CompiledFG, bidx, plan, key, cfg: EPBPConfig,
     ) ** 2
 
     msgs0 = tuple(
-        jnp.zeros((bi.gvid.shape[0], bi.gvid.shape[1], P)) for bi in bidx
+        jnp.zeros((bi.gvid.shape[0], bi.gvid.shape[1], W)) for bi in bidx
     )
 
     def support_from(q_mu, q_var, kk):
         eps = jax.random.normal(kk, (max(fg.n_cont, 1), P))
         cont_rows = q_mu[:, None] + jnp.sqrt(q_var)[:, None] * eps[: fg.n_cont]
+        cont_rows = jnp.pad(cont_rows, ((0, 0), (0, W - P)))  # masked tail
         return jnp.concatenate(
             [cont_rows[: fg.n_cont], disc_rows[: fg.n_disc]], axis=0
         ) if n_var == fg.n_cont + fg.n_disc and (fg.n_cont or fg.n_disc) else (
-            jnp.zeros((n_var, P))
+            jnp.zeros((n_var, W))
         )
 
     def one_iter(carry, kk):
         sup_old, msgs_old, q_mu, q_var = carry
-        B_old = _beliefs_of(msgs_old, bidx, plan, n_var, P)
-        lq_old = _log_q(fg, sup_old, q_mu, q_var, P, n_var)
+        B_old = _beliefs_of(msgs_old, bidx, plan, n_var, W)
+        lq_old = _log_q(fg, sup_old, q_mu, q_var, W, n_var)
 
         # refit proposals from current beliefs (importance moment matching)
         if fg.n_cont:
@@ -442,31 +478,34 @@ def _epbp_run(fg: CompiledFG, bidx, plan, key, cfg: EPBPConfig,
         lo = jnp.maximum(q_mu - span, fg.cont_lo)
         hi = jnp.minimum(q_mu + span, fg.cont_hi)
         grid_rows = lo[:, None] + (hi - lo)[:, None] * t
+        grid_rows = jnp.pad(grid_rows, ((0, 0), (0, W - P)))  # masked tail
         sup_grid = jnp.concatenate([grid_rows, sup[fg.n_cont :]], axis=0)
     else:
         sup_grid = sup
-    lq = _log_q(fg, sup, q_mu, q_var, P, n_var)
+    lq = _log_q(fg, sup, q_mu, q_var, W, n_var)
     # UNNORMALIZED grid pass: shares per-edge constants with any later
     # arbitrary-x query pass from the same (sup, msgs, lq) state.
     msgs_grid = _update_msgs(fg, bidx, plan, dmask, sup_idx, n_var, P,
                              sup, msgs, lq, sup_grid, normalize=False)
-    B = _beliefs_of(msgs_grid, bidx, plan, n_var, P)
+    B = _beliefs_of(msgs_grid, bidx, plan, n_var, W)
     return sup_grid, sup_idx, dmask, B, q_mu, q_var, sup, msgs, lq
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _epbp_query(fg: CompiledFG, bidx, plan, cfg: EPBPConfig,
                 sup, msgs, lq, sup_grid, row, xq):
-    """Belief row at caller-supplied points ``xq`` [P] for variable ``row``.
+    """Belief row at caller-supplied points ``xq`` [W] for variable ``row``
+    (only the first P entries are evaluated for a continuous target).
 
     Runs one unnormalized message pass from the final EPBP state targeting
     the grid support with ``row`` replaced by ``xq`` — same constants as
     the stored grid beliefs, so exp(B_q − logZ_grid) is the density.
     """
     P = cfg.n_particles
+    W = _table_width(fg, P)
     n_var = max(fg.n_cont + fg.n_disc, 1)
     sup_idx, dmask = _static_tables(fg, P)
     sup_q = sup_grid.at[row].set(xq)
     msgs_q = _update_msgs(fg, bidx, plan, dmask, sup_idx, n_var, P,
                           sup, msgs, lq, sup_q, normalize=False)
-    return _beliefs_of(msgs_q, bidx, plan, n_var, P)[row]
+    return _beliefs_of(msgs_q, bidx, plan, n_var, W)[row]

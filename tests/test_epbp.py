@@ -45,14 +45,51 @@ def test_epbp_gaussian_chain_vs_gabp():
         assert abs(eng.var(rv) - v) / v < 0.4, (rv, eng.var(rv), v)
 
 
-def test_epbp_rejects_small_particle_count():
-    g, _ = hybrid_chain()
+def test_epbp_large_discrete_domain_small_particle_count():
+    """Discrete grid axes use the true domain size, decoupled from P: a
+    12-value domain runs exactly with only 8 particles (VERDICT r1 weak
+    #5 — the old support tables required n_particles >= max_v)."""
+    from lhvi_tpu.potentials import MLNPotential, TablePotential
+
+    vals = list(range(12))
+    d = RV(Domain(vals), name="d")
+    x = RV(Domain([-8.0, 20.0], continuous=True), name="x")
+    prior = np.linspace(1.0, 2.0, 12)
+    g = Graph(
+        [d, x],
+        [
+            F(TablePotential(prior / prior.sum()), [d]),
+            # unary anchor keeps x's belief (and so the importance
+            # proposal) narrow — isolates the mechanism under test from
+            # small-P proposal-mismatch MC error
+            F(GaussianPotential([4.0], [[1.0]]), [x]),
+            F(
+                MLNPotential(
+                    lambda a: -0.5 * (a[1] - a[0]) ** 2,
+                    w=1.0,
+                    formula_name="link",
+                ),
+                [d, x],
+            ),
+        ],
+    )
+    exact = ExactPosterior(g, cont_grid=201)
     fg = compile_graph(g)
-    try:
-        EPBP(fg, EPBPConfig(n_particles=1))
-        assert False, "expected ValueError"
-    except ValueError:
-        pass
+    assert fg.max_v == 12
+    # P=64 > domain: mixed 64/12 grid axes, tight accuracy
+    eng = EPBP(fg, EPBPConfig(n_particles=64, n_iters=40)).run(
+        jax.random.PRNGKey(3)
+    )
+    assert np.abs(eng.disc_marginal(d) - exact.disc_marginal(d)).max() < 0.05
+    assert abs(eng.mean(x) - exact.mean(x)) < 0.3
+    # P=8 < domain size: impossible before the decoupling; tolerance sized
+    # to the genuine 8-particle importance-sampling error (mechanism is
+    # exact — see the P=64 run above)
+    eng8 = EPBP(fg, EPBPConfig(n_particles=8, n_iters=40)).run(
+        jax.random.PRNGKey(3)
+    )
+    assert np.abs(eng8.disc_marginal(d) - exact.disc_marginal(d)).max() < 0.25
+    assert abs(eng8.mean(x) - exact.mean(x)) < 1.0
 
 
 def test_epbp_arity3_hybrid_factor():
