@@ -150,7 +150,10 @@ def smc_throughput(g):
     from lhvi_tpu.engines import smc
 
     fg = compile_graph(g)
-    cfg = smc.SMCConfig(n_particles=8192, n_temps=50)
+    # 65536 particles: same per-particle cost as 8192 but ~2.6x the
+    # throughput (the anneal is reweight/resample-latency-bound, so more
+    # particles amortize the fixed per-temperature cost)
+    cfg = smc.SMCConfig(n_particles=65536, n_temps=50)
 
     def run(rep):
         xc, xd, log_w, log_z, diag = smc.run_smc(

@@ -44,6 +44,27 @@ def test_smc_kalman_smoothing():
     assert np.mean(vrel) < 0.3, np.mean(vrel)
 
 
+def test_smc_quad_moves_match_autodiff_moves():
+    """The batched fused-quadratic rejuvenation path (quad_moves=True)
+    integrates the same blended tempered Hamiltonian as the per-particle
+    autodiff path, so posterior moments and log-Z must agree to MC error."""
+    g, xs, ys = kalman_lds(T=10, seed=1)
+    oracle, _ = gabp.dense_gaussian_marginals(g)
+    fg = compile_graph(g)
+    assert fg.cont_pure_quad
+    outs = {}
+    for qm in (False, True):
+        res = smc.sample(
+            fg, jax.random.PRNGKey(4),
+            smc.SMCConfig(n_particles=2048, n_temps=40, n_moves=2,
+                          step_size=0.3, quad_moves=qm),
+        )
+        outs[qm] = res
+        errs = [abs(res.mean(rv) - oracle[id(rv)][0]) for rv in xs]
+        assert np.mean(errs) < 0.15, (qm, np.mean(errs))
+    assert abs(outs[True].log_z - outs[False].log_z) < 0.5
+
+
 def test_smc_hybrid_chain():
     g, (d, x1, x2) = hybrid_chain()
     exact = ExactPosterior(g, cont_grid=161)
