@@ -185,6 +185,18 @@ class GibbsColorGroup:
     (factor scale; 0 = padding), ``vidx`` ([nc, M, D] per-var gather into
     the color's row block; index R = zero row), and ``params``
     (pre-gathered per-factor kernel params).
+
+    ``seq=True`` marks a *sequential pair group*: every class is a
+    singleton (M == 1) and every factor row touches at most ONE other
+    variable of this group besides its target. The sweep then
+    pre-evaluates each row over the (target value × neighbor value) grid
+    in one batched pass and scans the colors carrying only the group's
+    own values — O(1)-sized ops per sequential step instead of a full
+    kernel evaluation, the hot-path fix for clique-like MLN groups (e.g.
+    the all-pairs smokes(X) conflict clique at pod scale). Extra tab
+    arrays in seq mode: ``nbr`` (i32 [nc, R] group-color index of the
+    row's in-group neighbor; nc = none) and ``nbr_sub``
+    (bool [nc, R, ad] that neighbor's slots, substituted jointly).
     """
 
     n_colors: int = struct.field(pytree_node=False)
@@ -192,6 +204,7 @@ class GibbsColorGroup:
     vars_: Array  # i32 [nc, M] global discrete var ids (pad = n_disc)
     sizes: Array  # i32 [nc, M] domain sizes (pad = 1)
     bucket_tabs: Tuple  # per bucket: None | dict of [nc, R, …] arrays
+    seq: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -866,6 +879,7 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
     if total_rows > row_cap:
         return None
 
+    max_v = int(disc_sizes.max()) if len(disc_sizes) else 1
     groups = []
     for _, colors in sorted(group_ids.items()):
         nc = len(colors)
@@ -878,15 +892,28 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
             vars_g[j, : len(members)] = members
             sizes_g[j, : len(members)] = disc_sizes[members]
 
+        # sequential-pair-group eligibility (see GibbsColorGroup.seq):
+        # singleton classes + every row touches <=1 other group var +
+        # bounded [nc, R, V, V] pre-eval tables
+        singleton = M == 1 and bool((counts[colors] == 1).all())
+        seq_ok = singleton and nc >= 8
+        loc_in_group = np.full(n_disc + 1, nc, np.int64)
+        if singleton:
+            loc_in_group[vars_g[:, 0]] = np.arange(nc)
+        seq_nbr = []  # per tab: (nbr [nc, R], nbr_sub [nc, R, ad]) | None
+        seq_elems = 0
+
         tabs = []
         for np_b, e in zip(np_buckets, b_sorted):
             if e is None:
                 tabs.append(None)
+                seq_nbr.append(None)
                 continue
             edge_r, edge_v, sub, w, ecounts, estarts = e
             R = int(ecounts[colors].max())
             if R == 0:
                 tabs.append(None)
+                seq_nbr.append(None)
                 continue
             D = max(int(dmax[colors].max()), 1)
             eid = np.zeros((nc, R), np.int64)  # pad: edge 0 with w=0
@@ -909,6 +936,24 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                 occ = np.arange(k) - np.repeat(first, cnts_v)
                 vidx[j, tl, occ] = np.arange(k)
             fr = edge_r[eid]  # [nc, R] factor rows
+            if seq_ok:
+                svars = np_b["disc_idx"][fr]  # [nc, R, ad]
+                latent = np_b["disc_mask"][fr] > 0
+                sub_t = sub[eid]
+                other = latent & ~sub_t & valid[:, :, None]
+                loc = loc_in_group[np.minimum(svars, n_disc)]
+                ing = other & (loc < nc)
+                loc_m = np.where(ing, loc, -1)
+                mx = loc_m.max(-1)  # [nc, R]
+                if (ing & (loc_m != mx[:, :, None])).any():
+                    seq_ok = False  # a row with 2+ distinct group nbrs
+                else:
+                    seq_nbr.append(
+                        (np.where(mx >= 0, mx, nc).astype(np.int32), ing)
+                    )
+                    seq_elems += nc * R
+            else:
+                seq_nbr.append(None)
             tabs.append(
                 {
                     "cont_idx": jnp.asarray(
@@ -935,6 +980,17 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                     "vidx": jnp.asarray(vidx.astype(np.int32)),
                 }
             )
+        # 2^23 elements/chain caps the [nc, R, V, V] pre-eval tables
+        seq = bool(
+            seq_ok and seq_elems and seq_elems * max_v * max_v <= (1 << 23)
+        )
+        if seq:
+            for i, nb in enumerate(seq_nbr):
+                if nb is not None and tabs[i] is not None:
+                    tabs[i]["nbr"] = jnp.asarray(nb[0])
+                    tabs[i]["nbr_sub"] = jnp.asarray(nb[1])
+                elif tabs[i] is not None:
+                    seq = False  # tab without nbr info (shouldn't happen)
         groups.append(
             GibbsColorGroup(
                 n_colors=nc,
@@ -942,6 +998,7 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                 vars_=jnp.asarray(vars_g.astype(np.int32)),
                 sizes=jnp.asarray(sizes_g.astype(np.int32)),
                 bucket_tabs=tuple(tabs),
+                seq=seq,
             )
         )
     return GibbsColorPlan(groups=tuple(groups))

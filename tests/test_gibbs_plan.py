@@ -122,3 +122,73 @@ def test_planned_sweep_matches_exact_marginals():
         p1 = hist[..., i].mean()
         want = exact.disc_marginal(rv)[1]
         assert abs(p1 - want) < 0.02, (i, p1, want)
+
+
+def _clique_model(n=12, seed=0):
+    """All-pairs soft-MLN clique: the conflict graph needs n colors, so the
+    plan emits a sequential pair group (GibbsColorGroup.seq)."""
+    dom = Domain([0, 1])
+    zs = [RV(dom, name=f"z{i}") for i in range(n)]
+    rng = np.random.default_rng(seed)
+    fs = [F(TablePotential([0.6, 0.4]), [z]) for z in zs]
+    for i in range(n):
+        for j in range(i + 1, n):
+            w = float(rng.normal(0, 0.35))
+            fs.append(
+                F(MLNPotential(lambda a: (a[0] == a[1]) * 1.0, w=w,
+                               formula_name="agree"), [zs[i], zs[j]])
+            )
+    return Graph(zs, fs), zs
+
+
+def test_seq_group_sweep_matches_generic_path():
+    """The sequential pair-group fast path must produce the same sweep as
+    the generic per-color path under the same keys (same conditionals,
+    same sampling order)."""
+    g, _ = _clique_model()
+    fg = compile_graph(g)
+    plan = fg.color_plan
+    assert any(grp.seq for grp in plan.groups), "expected a seq group"
+    fg_gen = fg.replace(
+        color_plan=plan.replace(
+            groups=tuple(grp.replace(seq=False) for grp in plan.groups)
+        )
+    )
+    xc0 = jnp.zeros((fg.n_cont,))
+    for s in range(3):
+        key = jax.random.PRNGKey(s)
+        xc, xd0 = _rand_state(fg, s)
+        a = np.asarray(hmc.gibbs_sweep_planned(fg, key, xc0, xd0))
+        b = np.asarray(hmc.gibbs_sweep_planned(fg_gen, key, xc0, xd0))
+        assert (a == b).all(), (s, a, b)
+
+
+def test_seq_group_sweep_matches_exact_marginals():
+    """Chromatic Gibbs through the seq fast path recovers the exact
+    marginals of an enumerable 12-var clique."""
+    g, zs = _clique_model()
+    exact = ExactPosterior(g)
+    fg = compile_graph(g)
+    assert any(grp.seq for grp in fg.color_plan.groups)
+
+    C, S = 256, 400
+
+    @jax.jit
+    def run(key):
+        xc, xd = fg.init_state_batched(key, C)
+
+        def it(xd, k):
+            keys = jax.random.split(k, C)
+            xd = jax.vmap(
+                lambda kk, xdi: hmc.gibbs_sweep_planned(fg, kk, xc[0], xdi)
+            )(keys, xd)
+            return xd, xd
+
+        _, hist = jax.lax.scan(it, xd, jax.random.split(key, S))
+        return hist
+
+    hist = np.asarray(run(jax.random.PRNGKey(1)))[100:]
+    for i, rv in enumerate(zs):
+        p1 = hist[..., i].mean()
+        want = exact.disc_marginal(rv)[1]
+        assert abs(p1 - want) < 0.025, (i, p1, want)
