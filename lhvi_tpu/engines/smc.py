@@ -30,6 +30,11 @@ from flax import struct
 
 from lhvi_tpu.fg.compile import CompiledFG
 from lhvi_tpu.engines.hmc import _leapfrog
+from lhvi_tpu.ops.resample import (
+    weight_pipeline,
+    _jnp_weight_pipeline,
+    systematic_parents,
+)
 
 Array = jax.Array
 
@@ -130,15 +135,21 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
         lp_base = _base_log_prob(fg, cfg, xc)
         inc = (beta - beta_prev) * (lp_full - lp_base)
         lw_unnorm = log_w + inc
-        step_z = jax.scipy.special.logsumexp(lw_unnorm)
+        # fused Pallas weight pipeline (north-star "resampler" kernel): one
+        # VMEM pass for normalize + ESS + cumulative weights. On a sharded
+        # particle axis the jnp path is used instead so XLA keeps the
+        # reductions as psums over the mesh (a pallas_call would force a
+        # full gather onto one device).
+        if shard is None:
+            lw_norm, cum, step_z, ess = weight_pipeline(lw_unnorm)
+        else:
+            lw_norm, cum, step_z, ess = _jnp_weight_pipeline(lw_unnorm, N)
         log_z = state.log_z + step_z
-        lw_norm = lw_unnorm - step_z
-        ess = 1.0 / jnp.sum(jnp.exp(2.0 * lw_norm))
 
         # --- ESS-triggered systematic resampling ---------------------------
         def do_resample(args):
             xc, xd, _ = args
-            idx = systematic_resample(k_res, lw_norm, N)
+            idx = systematic_parents(k_res, cum, N)
             xc, xd = xc[idx], xd[idx]
             if shard is not None:
                 xc = jax.lax.with_sharding_constraint(xc, shard)
