@@ -327,36 +327,43 @@ def planned_logits(fg: CompiledFG, xc: Array, xd: Array) -> Array:
     return jnp.where(valid, out, _NEG_BIG)
 
 
-def _hmc_chain_step(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps, inv_mass):
-    """One HMC proposal for a single chain (vmapped over chains)."""
-    k_mom, k_acc = jax.random.split(key)
-    logp = lambda x: fg.log_prob(x, xd)
-    std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
-    p0 = std * jax.random.normal(k_mom, xc.shape)
-    x1, p1 = _leapfrog(logp, xc, p0, eps, inv_mass, cfg.n_leapfrog)
-    ke = lambda p: 0.5 * jnp.sum(inv_mass * p * p)
-    h0 = -logp(xc) + ke(p0)
-    h1 = -logp(x1) + ke(p1)
-    log_acc = jnp.minimum(0.0, h0 - h1)
-    log_acc = jnp.where(jnp.isfinite(log_acc), log_acc, -jnp.inf)
-    accept = jnp.log(jax.random.uniform(k_acc, ())) < log_acc
-    xc = jnp.where(accept, x1, xc)
-    return xc, jnp.exp(log_acc)
-
-
 def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
                       inv_mass):
     """One HMC proposal for ALL chains at once.
 
     On purely-quadratic continuous targets this routes through the fused
     Pallas leapfrog (one MXU matmul per step, state resident in VMEM);
-    otherwise it falls back to the vmapped autodiff leapfrog.
+    otherwise all chains run one LOCKSTEP batched leapfrog driven by
+    ``∇ log_prob_cont_batched`` — one fused gather/kernel program per
+    bucket for the whole batch, and the purely-discrete buckets (constant
+    in xc at the chain's fixed xd, e.g. the pod-scale MLN cliques) drop
+    out of the Hamiltonian exactly (they cancel in the MH ratio and have
+    zero xc-gradient).
     """
     if not fg.cont_pure_quad:
-        keys = jax.random.split(key, xc.shape[0])
-        return jax.vmap(
-            lambda k, a, b: _hmc_chain_step(fg, cfg, k, a, b, eps, inv_mass)
-        )(keys, xc, xd)
+        C = xc.shape[0]
+        k_mom, k_acc = jax.random.split(key)
+        logp = lambda x: fg.log_prob_cont_batched(x, xd)  # [C]
+        grad = jax.grad(lambda x: jnp.sum(logp(x)))  # chains independent
+        std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
+        p0 = std[None, :] * jax.random.normal(k_mom, xc.shape)
+
+        def body(_, carry):
+            x, p = carry
+            p = p + 0.5 * eps * grad(x)
+            x = x + eps * (inv_mass[None, :] * p)
+            p = p + 0.5 * eps * grad(x)
+            return x, p
+
+        x1, p1 = jax.lax.fori_loop(0, cfg.n_leapfrog, body, (xc, p0))
+        ke = lambda p: 0.5 * jnp.sum(inv_mass[None, :] * p * p, axis=-1)
+        h0 = -logp(xc) + ke(p0)
+        h1 = -logp(x1) + ke(p1)
+        log_acc = jnp.minimum(0.0, h0 - h1)
+        log_acc = jnp.where(jnp.isfinite(log_acc), log_acc, -jnp.inf)
+        accept = jnp.log(jax.random.uniform(k_acc, (C,))) < log_acc
+        xc = jnp.where(accept[:, None], x1, xc)
+        return xc, jnp.exp(log_acc)
 
     from lhvi_tpu.ops.leapfrog import quad_leapfrog
 

@@ -70,8 +70,11 @@ def _make_grad_lp(fg: CompiledFG, xd: Array):
 
     Pure-quadratic continuous energy: one matmul serves both (the MXU fast
     path — ``g = h − Jq`` and ``lp = c + ½ q·(h + g)``). Otherwise one
-    vmapped value_and_grad over ``fg.log_prob`` at the chains' current
-    discrete states.
+    batched vjp over ``fg.log_prob_cont_batched`` at the chains' current
+    discrete states: purely-discrete buckets are constant in q per chain,
+    so they shift every leaf's Hamiltonian of that chain equally — all
+    within-trajectory comparisons (multinomial weights, U-turns,
+    divergence ΔH) are exact, and ∇_q is identical to the full log-prob's.
     """
     if fg.cont_pure_quad:
         J, h, c = fg.quad_J, fg.quad_h, fg.quad_c
@@ -83,12 +86,9 @@ def _make_grad_lp(fg: CompiledFG, xd: Array):
 
         return grad_lp
 
-    vg = jax.vmap(jax.value_and_grad(lambda x, d: fg.log_prob(x, d)),
-                  in_axes=(0, 0))
-
     def grad_lp(q):
-        lp, g = vg(q, xd)
-        return g, lp
+        lp, pullback = jax.vjp(lambda x: fg.log_prob_cont_batched(x, xd), q)
+        return pullback(jnp.ones_like(lp))[0], lp
 
     return grad_lp
 

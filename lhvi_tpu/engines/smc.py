@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from lhvi_tpu.fg.compile import CompiledFG
-from lhvi_tpu.engines.hmc import _leapfrog
 from lhvi_tpu.ops.resample import (
     weight_pipeline,
     _jnp_weight_pipeline,
@@ -90,12 +89,6 @@ def systematic_resample(key: Array, log_w: Array, n: int) -> Array:
     )
 
 
-def _tempered_logp(fg: CompiledFG, cfg: SMCConfig, xc, xd, beta):
-    return beta * fg.log_prob(xc, xd) + (1.0 - beta) * _base_log_prob(
-        fg, cfg, xc[None, :]
-    )[0]
-
-
 @partial(jax.jit, static_argnames=("cfg", "shard"))
 def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
             shard=None):
@@ -121,9 +114,6 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
 
     betas = jnp.linspace(0.0, 1.0, cfg.n_temps + 1)
 
-    def logp_both(xc_i, xd_i, beta):
-        return _tempered_logp(fg, cfg, xc_i, xd_i, beta)
-
     def temp_step(state: SMCState, inp):
         beta_prev, beta = inp
         key, k_res, k_mom, k_acc, k_gibbs = jax.random.split(state.key, 5)
@@ -131,7 +121,7 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
 
         # --- reweight: incremental weight between temperatures ------------
         # invariant: log_w enters normalized (logsumexp == 0)
-        lp_full = jax.vmap(fg.log_prob)(xc, xd)
+        lp_full = fg.log_prob_batched(xc, xd)
         lp_base = _base_log_prob(fg, cfg, xc)
         inc = (beta - beta_prev) * (lp_full - lp_base)
         lw_unnorm = log_w + inc
@@ -166,20 +156,35 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
             xc, xd = carry
             km, ka, kg = jax.random.split(k, 3)
 
-            # HMC move on the tempered target
-            def one(ki, kai, xc_i, xd_i):
-                logp = lambda x: logp_both(x, xd_i, beta)
-                p0 = jax.random.normal(ki, xc_i.shape)
-                x1, p1 = _leapfrog(
-                    logp, xc_i, p0, cfg.step_size, jnp.ones_like(xc_i),
-                    cfg.n_leapfrog,
+            # HMC move on the tempered target — LOCKSTEP batched leapfrog
+            # on the continuous-state-dependent part (purely-discrete
+            # buckets are constant in xc at each particle's fixed xd and
+            # cancel exactly in the MH ratio)
+            def move_batched(km, ka, xc, xd):
+                logp = lambda X: (
+                    beta * fg.log_prob_cont_batched(X, xd)
+                    + (1.0 - beta) * _base_log_prob(fg, cfg, X)
+                )  # [N]
+                grad = jax.grad(lambda X: jnp.sum(logp(X)))
+                p0 = jax.random.normal(km, xc.shape)
+
+                def body(_, carry):
+                    x, p = carry
+                    p = p + 0.5 * cfg.step_size * grad(x)
+                    x = x + cfg.step_size * p
+                    p = p + 0.5 * cfg.step_size * grad(x)
+                    return x, p
+
+                x1, p1 = jax.lax.fori_loop(
+                    0, cfg.n_leapfrog, body, (xc, p0)
                 )
-                h0 = -logp(xc_i) + 0.5 * jnp.sum(p0 * p0)
-                h1 = -logp(x1) + 0.5 * jnp.sum(p1 * p1)
-                ok = jnp.log(jax.random.uniform(kai, ())) < jnp.minimum(
-                    0.0, h0 - h1
-                )
-                return jnp.where(ok & jnp.isfinite(h1), x1, xc_i), ok
+                h0 = -logp(xc) + 0.5 * jnp.sum(p0 * p0, -1)
+                h1 = -logp(x1) + 0.5 * jnp.sum(p1 * p1, -1)
+                ok = (
+                    jnp.log(jax.random.uniform(ka, (N,)))
+                    < jnp.minimum(0.0, h0 - h1)
+                ) & jnp.isfinite(h1)
+                return jnp.where(ok[:, None], x1, xc), ok
 
             def move_quad(km, ka, xc):
                 # the tempered target of a pure-quadratic model is itself
@@ -212,9 +217,7 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
             if fg.n_cont and fg.cont_pure_quad and cfg.quad_moves:
                 xc, acc = move_quad(km, ka, xc)
             elif fg.n_cont:
-                kms = jax.random.split(km, N)
-                kas = jax.random.split(ka, N)
-                xc, acc = jax.vmap(one)(kms, kas, xc, xd)
+                xc, acc = move_batched(km, ka, xc, xd)
             else:
                 acc = jnp.ones(N, bool)
 

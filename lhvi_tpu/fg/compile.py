@@ -138,6 +138,39 @@ class FactorBucket:
         vals = jnp.broadcast_to(vals, xdi.shape + vals.shape[-1:])
         return jnp.take_along_axis(vals, xdi[..., None], axis=-1)[..., 0]
 
+    def gather_args_batched(self, xc: Array, xd: Array):
+        """Batched ``gather_args``: state ``[C, n_cont]/[C, n_disc]`` →
+        ``(params [1, n_f, …], xcs [C, n_f, ac], xdi, xdv [C, n_f, ad])``.
+
+        One fused gather program for the whole batch — the chains/particles
+        hot path; per-state ``vmap`` over :meth:`gather_args` produces the
+        same values (identity-tested in ``tests/test_compile.py``).
+        """
+        C = xc.shape[0]
+        xcs = jnp.where(
+            self.cont_mask[None] > 0,
+            xc[:, self.cont_idx]
+            if xc.shape[1]
+            else jnp.broadcast_to(self.cont_const, (C,) + self.cont_const.shape),
+            self.cont_const[None],
+        )
+        xdi = jnp.where(
+            self.disc_mask[None] > 0,
+            xd[:, self.disc_idx]
+            if xd.shape[1]
+            else jnp.broadcast_to(self.disc_const, (C,) + self.disc_const.shape),
+            self.disc_const[None],
+        )
+        if self.ad:
+            vals = jnp.broadcast_to(
+                self.disc_vals[None], xdi.shape + self.disc_vals.shape[-1:]
+            )
+            xdv = jnp.take_along_axis(vals, xdi[..., None], axis=-1)[..., 0]
+        else:
+            xdv = xdi.astype(jnp.float32)
+        params = jax.tree_util.tree_map(lambda a: a[None], self.params)
+        return params, xcs, xdi, xdv
+
 
 def expand_params(params: Dict[str, Array], n_axes: int) -> Dict[str, Array]:
     """Insert ``n_axes`` singleton axes after axis 0 of every leaf."""
@@ -276,6 +309,49 @@ class CompiledFG:
             params, xcs, xdi, xdv = b.gather_args(xc, xd)
             lp = b.kernel(params, xcs, xdi, xdv)
             total = total + jnp.sum(b.scale * lp)
+        return total
+
+    # ---- batched (chains/particles leading axis) log-prob family -----
+    @property
+    def cont_bucket_idx(self) -> Tuple[int, ...]:
+        """Surviving buckets whose kernels actually read ``xc``."""
+        return tuple(i for i in self.lp_bucket_idx if self.buckets[i].ac > 0)
+
+    def _bucket_logp_batched(self, i: int, xc: Array, xd: Array) -> Array:
+        b = self.buckets[i]
+        params, xcs, xdi, xdv = b.gather_args_batched(xc, xd)
+        lp = b.kernel(params, xcs, xdi, xdv)  # [C, n_f]
+        return jnp.sum(b.scale[None] * lp, axis=-1)
+
+    def log_prob_batched(self, xc: Array, xd: Array) -> Array:
+        """``[C]`` log p for a batch of states.
+
+        Equal to ``vmap(self.log_prob)`` but a single fused gather/kernel
+        program per bucket — the engines' chains/particles hot path (no
+        per-state program replication for XLA to re-fuse).
+        """
+        total = jnp.zeros((xc.shape[0],), jnp.float32)
+        if self.has_quad:
+            total = total + self.quad_log_prob_batched(xc)
+        for i in self.lp_bucket_idx:
+            total = total + self._bucket_logp_batched(i, xc, xd)
+        return total
+
+    def log_prob_cont_batched(self, xc: Array, xd: Array) -> Array:
+        """``[C]`` continuous-state-dependent part of ``log_prob``.
+
+        Sums the fused quadratic form plus only the buckets that reference
+        ``xc`` — it differs from :meth:`log_prob_batched` by a term
+        CONSTANT in ``xc`` (the purely-discrete buckets). Exact for
+        continuous-update MH ratios at fixed ``xd`` and for ``∇_xc``,
+        while skipping the (often dominant — e.g. pod-scale MLN cliques)
+        discrete-only factor load entirely.
+        """
+        total = jnp.zeros((xc.shape[0],), jnp.float32)
+        if self.has_quad:
+            total = total + self.quad_log_prob_batched(xc)
+        for i in self.cont_bucket_idx:
+            total = total + self._bucket_logp_batched(i, xc, xd)
         return total
 
     def disc_logits(self, xc: Array, xd: Array) -> Array:

@@ -203,3 +203,66 @@ def test_disc_logits_repeated_discrete_argument():
                     logits[v_i, c] - logits[v_i, xd[v_i]], lp - base,
                     rtol=1e-4, atol=1e-4,
                 ), (cur, v_i, c)
+
+
+def test_log_prob_batched_matches_vmap():
+    """Batched log-prob family == vmap(log_prob); the continuous-part
+    variant differs by an xc-constant per state (grad-identical)."""
+    from lhvi_tpu.models.relational import friends_smokers
+
+    rg = friends_smokers(n_people=4, hybrid=True)
+    rg.observe("smokes", ("p0",), 1)
+    g, _ = rg.ground()
+    fg = compile_graph(g)
+    key = jax.random.PRNGKey(0)
+    C = 5
+    xc, xd = fg.init_state_batched(key, C)
+
+    ref = jax.vmap(fg.log_prob)(xc, xd)
+    got = fg.log_prob_batched(xc, xd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # continuous part: full − cont is constant in xc (per state)
+    cont = fg.log_prob_cont_batched(xc, xd)
+    delta1 = np.asarray(ref - cont)
+    xc2 = xc + 0.37
+    delta2 = np.asarray(
+        fg.log_prob_batched(xc2, xd) - fg.log_prob_cont_batched(xc2, xd)
+    )
+    np.testing.assert_allclose(delta1, delta2, rtol=1e-4, atol=1e-4)
+
+    # gradients identical
+    g1 = jax.grad(lambda x: jnp.sum(fg.log_prob_batched(x, xd)))(xc)
+    g2 = jax.grad(lambda x: jnp.sum(fg.log_prob_cont_batched(x, xd)))(xc)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_log_prob_batched_no_disc_and_no_cont():
+    """Degenerate axes: all-continuous and all-discrete models."""
+    from lhvi_tpu.models.toy import gaussian_grid
+
+    g, _ = gaussian_grid(rows=3, cols=3, seed=0, evidence_frac=0.2)
+    fg = compile_graph(g)
+    xc, xd = fg.init_state_batched(jax.random.PRNGKey(1), 4)
+    np.testing.assert_allclose(
+        np.asarray(fg.log_prob_batched(xc, xd)),
+        np.asarray(jax.vmap(fg.log_prob)(xc, xd)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    rng = np.random.RandomState(0)
+    dom = Domain([0, 1, 2])
+    d, e = RV(dom, name="d"), RV(dom, name="e")
+    gd = Graph(
+        [d, e],
+        [F(TablePotential(np.exp(rng.randn(3, 3))), [d, e])],
+    )
+    fgd = compile_graph(gd)
+    xc, xd = fgd.init_state_batched(jax.random.PRNGKey(2), 4)
+    np.testing.assert_allclose(
+        np.asarray(fgd.log_prob_batched(xc, xd)),
+        np.asarray(jax.vmap(fgd.log_prob)(xc, xd)),
+        rtol=1e-5, atol=1e-5,
+    )
