@@ -142,124 +142,6 @@ def _color_class_logits(fg: CompiledFG, grp, tabs, xc, xd):
     return logits
 
 
-def _seq_pre_tables(fg: CompiledFG, grp, xc, xd):
-    """Per-bucket ``[nc, R, V, V]`` pre-evaluated row tables for a
-    sequential pair group: log φ·w with the target's slots at candidate
-    value v (axis 2) and the in-group neighbor's slots at candidate value
-    s (axis 3), everything else at the CURRENT state (fixed during the
-    group sweep). Chunked over colors to bound the eval transient."""
-    V = fg.max_v
-    cand = jnp.arange(V, dtype=jnp.int32)
-    out = []
-    for b, t in zip(fg.buckets, grp.bucket_tabs):
-        if t is None:
-            out.append(None)
-            continue
-        nc, R, ad = t["disc_idx"].shape
-        B = max(1, (1 << 20) // max(R * V * V * max(ad, 1), 1))
-        B = min(B, nc)
-        G = -(-nc // B)
-        ncp = G * B
-
-        keys = ("cont_idx", "cont_mask", "cont_const", "disc_idx",
-                "disc_mask", "disc_const", "disc_vals", "params", "sub",
-                "w", "nbr_sub")
-
-        def rs(a):
-            if ncp != nc:
-                a = jnp.concatenate(
-                    [a, jnp.zeros((ncp - nc,) + a.shape[1:], a.dtype)], 0
-                )
-            return a.reshape((G, B) + a.shape[1:])
-
-        tc_all = jax.tree_util.tree_map(rs, {k: t[k] for k in keys})
-
-        def eval_chunk(tc, b=b, ad=ad, B=B, R=R):
-            xcs = jnp.where(
-                tc["cont_mask"] > 0,
-                xc[tc["cont_idx"]] if xc.shape[0]
-                else jnp.zeros_like(tc["cont_const"]),
-                tc["cont_const"],
-            )  # [B, R, ac]
-            xdi = jnp.where(
-                tc["disc_mask"] > 0,
-                xd[tc["disc_idx"]] if xd.shape[0]
-                else jnp.zeros_like(tc["disc_const"]),
-                tc["disc_const"],
-            )  # [B, R, ad]
-            base = jnp.broadcast_to(
-                xdi[:, :, None, None, :], (B, R, V, V, ad)
-            )
-            xdi_p = jnp.where(
-                tc["sub"][:, :, None, None, :],
-                cand[None, None, :, None, None], base,
-            )
-            xdi_p = jnp.where(
-                tc["nbr_sub"][:, :, None, None, :],
-                cand[None, None, None, :, None], xdi_p,
-            )
-            vals = jnp.broadcast_to(
-                tc["disc_vals"][:, :, None, None, :, :],
-                (B, R, V, V, ad, tc["disc_vals"].shape[-1]),
-            )
-            xdv_p = jnp.take_along_axis(vals, xdi_p[..., None], -1)[..., 0]
-            pk = jax.tree_util.tree_map(
-                lambda a: a.reshape(a.shape[:2] + (1, 1) + a.shape[2:]),
-                tc["params"],
-            )
-            lp = b.kernel(pk, xcs[:, :, None, None, :], xdi_p, xdv_p)
-            lp = jnp.nan_to_num(lp, neginf=_NEG_BIG)
-            return lp * tc["w"][:, :, None, None]  # [B, R, V, V]
-
-        lp_all = jax.lax.map(eval_chunk, tc_all)
-        out.append(lp_all.reshape((ncp, R, V, V))[:nc])
-    return out
-
-
-def _gibbs_group_seq(fg: CompiledFG, grp, gkey: Array, xc: Array,
-                     xd: Array, beta=1.0) -> Array:
-    """Sequential pair-group sweep: pre-evaluate row tables once, then
-    scan the colors carrying only the group's own values ``s [nc]`` —
-    per-step cost is a handful of O(deg·V) gathers instead of a full
-    kernel evaluation plus an O(n_disc) state update."""
-    nc = grp.n_colors
-    V = fg.max_v
-    gvars = grp.vars_[:, 0]  # [nc] (singleton classes — no padding)
-    s0 = xd[gvars]
-    tables = _seq_pre_tables(fg, grp, xc, xd)
-
-    xs = {
-        "key": jax.random.split(gkey, nc),
-        "size": grp.sizes[:, 0],
-        "pos": jnp.arange(nc, dtype=jnp.int32),
-    }
-    live = []
-    for i, (tb, t) in enumerate(zip(tables, grp.bucket_tabs)):
-        if tb is None:
-            continue
-        xs[f"lp{i}"] = tb
-        xs[f"nbr{i}"] = t["nbr"]
-        live.append(i)
-
-    def step(s, x):
-        sp = jnp.concatenate([s, jnp.zeros((1,), s.dtype)])  # nc = pad
-        logits = jnp.zeros((V,))
-        for i in live:
-            s_n = sp[x[f"nbr{i}"]]  # [R] neighbor current values
-            sel = jnp.take_along_axis(
-                x[f"lp{i}"], s_n[:, None, None].astype(jnp.int32), axis=2
-            )[:, :, 0]  # [R, V] rows at (v, s_nbr)
-            logits = logits + jnp.sum(sel, axis=0)
-        valid = jnp.arange(V, dtype=jnp.int32) < x["size"]
-        logits = jnp.where(valid, beta * logits, _NEG_BIG)
-        new = jax.random.categorical(x["key"], logits[None, :], -1)
-        s = s.at[x["pos"]].set(new[0].astype(jnp.int32))
-        return s, None
-
-    s, _ = jax.lax.scan(step, s0, xs)
-    return xd.at[gvars].set(s)
-
-
 def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
                         xd: Array, beta=1.0) -> Array:
     """One FULL exact chromatic sweep via the compile-time color plan.
@@ -276,9 +158,6 @@ def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
     V = fg.max_v
     for gi, grp in enumerate(fg.color_plan.groups):
         gkey = jax.random.fold_in(key, gi)
-        if grp.seq:
-            xd = _gibbs_group_seq(fg, grp, gkey, xc, xd, beta)
-            continue
         keys = jax.random.split(gkey, grp.n_colors)
 
         def step(xd, s, grp=grp):

@@ -91,6 +91,9 @@ class FactorBucket:
     disc_vals: Array  # f32 [n_f, ad, Vmax] slot index->value tables
     disc_size: Array  # i32 [n_f, ad] slot domain sizes
     scale: Array  # f32 [n_f] orbit count (0 = padding)
+    # optional slot-major kernel (potentials.base.Potential.kernel_planar)
+    # — required by the fused Pallas log-potential path (ops/logpot.py)
+    kernel_planar: Any = struct.field(pytree_node=False, default=None)
 
     @property
     def n_factors(self) -> int:
@@ -218,18 +221,6 @@ class GibbsColorGroup:
     (factor scale; 0 = padding), ``vidx`` ([nc, M, D] per-var gather into
     the color's row block; index R = zero row), and ``params``
     (pre-gathered per-factor kernel params).
-
-    ``seq=True`` marks a *sequential pair group*: every class is a
-    singleton (M == 1) and every factor row touches at most ONE other
-    variable of this group besides its target. The sweep then
-    pre-evaluates each row over the (target value × neighbor value) grid
-    in one batched pass and scans the colors carrying only the group's
-    own values — O(1)-sized ops per sequential step instead of a full
-    kernel evaluation, the hot-path fix for clique-like MLN groups (e.g.
-    the all-pairs smokes(X) conflict clique at pod scale). Extra tab
-    arrays in seq mode: ``nbr`` (i32 [nc, R] group-color index of the
-    row's in-group neighbor; nc = none) and ``nbr_sub``
-    (bool [nc, R, ad] that neighbor's slots, substituted jointly).
     """
 
     n_colors: int = struct.field(pytree_node=False)
@@ -237,7 +228,6 @@ class GibbsColorGroup:
     vars_: Array  # i32 [nc, M] global discrete var ids (pad = n_disc)
     sizes: Array  # i32 [nc, M] domain sizes (pad = 1)
     bucket_tabs: Tuple  # per bucket: None | dict of [nc, R, …] arrays
-    seq: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -620,6 +610,7 @@ def compile_graph(
         pad = lambda a: _pad_rows(a, n)  # noqa: E731
         scale_p = np.concatenate([scale, np.zeros(n - n_raw, np.float32)])
         kernel = fs[0].potential.kernel(pattern)
+        kernel_planar = fs[0].potential.kernel_planar(pattern)
         cont_lat = tuple(l for l, c in zip(latency, pattern) if c)
         disc_lat = tuple(l for l, c in zip(latency, pattern) if not c)
         np_b = {
@@ -646,6 +637,7 @@ def compile_graph(
                 cont_lat=cont_lat,
                 disc_lat=disc_lat,
                 kernel=kernel,
+                kernel_planar=kernel_planar,
                 params={k: jnp.asarray(v) for k, v in params.items()},
                 cont_idx=jnp.asarray(np_b["cont_idx"]),
                 cont_mask=jnp.asarray(np_b["cont_mask"]),
@@ -968,28 +960,15 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
             vars_g[j, : len(members)] = members
             sizes_g[j, : len(members)] = disc_sizes[members]
 
-        # sequential-pair-group eligibility (see GibbsColorGroup.seq):
-        # singleton classes + every row touches <=1 other group var +
-        # bounded [nc, R, V, V] pre-eval tables
-        singleton = M == 1 and bool((counts[colors] == 1).all())
-        seq_ok = singleton and nc >= 8
-        loc_in_group = np.full(n_disc + 1, nc, np.int64)
-        if singleton:
-            loc_in_group[vars_g[:, 0]] = np.arange(nc)
-        seq_nbr = []  # per tab: (nbr [nc, R], nbr_sub [nc, R, ad]) | None
-        seq_elems = 0
-
         tabs = []
         for np_b, e in zip(np_buckets, b_sorted):
             if e is None:
                 tabs.append(None)
-                seq_nbr.append(None)
                 continue
             edge_r, edge_v, sub, w, ecounts, estarts = e
             R = int(ecounts[colors].max())
             if R == 0:
                 tabs.append(None)
-                seq_nbr.append(None)
                 continue
             D = max(int(dmax[colors].max()), 1)
             eid = np.zeros((nc, R), np.int64)  # pad: edge 0 with w=0
@@ -1012,24 +991,6 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                 occ = np.arange(k) - np.repeat(first, cnts_v)
                 vidx[j, tl, occ] = np.arange(k)
             fr = edge_r[eid]  # [nc, R] factor rows
-            if seq_ok:
-                svars = np_b["disc_idx"][fr]  # [nc, R, ad]
-                latent = np_b["disc_mask"][fr] > 0
-                sub_t = sub[eid]
-                other = latent & ~sub_t & valid[:, :, None]
-                loc = loc_in_group[np.minimum(svars, n_disc)]
-                ing = other & (loc < nc)
-                loc_m = np.where(ing, loc, -1)
-                mx = loc_m.max(-1)  # [nc, R]
-                if (ing & (loc_m != mx[:, :, None])).any():
-                    seq_ok = False  # a row with 2+ distinct group nbrs
-                else:
-                    seq_nbr.append(
-                        (np.where(mx >= 0, mx, nc).astype(np.int32), ing)
-                    )
-                    seq_elems += nc * R
-            else:
-                seq_nbr.append(None)
             tabs.append(
                 {
                     "cont_idx": jnp.asarray(
@@ -1056,17 +1017,6 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                     "vidx": jnp.asarray(vidx.astype(np.int32)),
                 }
             )
-        # 2^23 elements/chain caps the [nc, R, V, V] pre-eval tables
-        seq = bool(
-            seq_ok and seq_elems and seq_elems * max_v * max_v <= (1 << 23)
-        )
-        if seq:
-            for i, nb in enumerate(seq_nbr):
-                if nb is not None and tabs[i] is not None:
-                    tabs[i]["nbr"] = jnp.asarray(nb[0])
-                    tabs[i]["nbr_sub"] = jnp.asarray(nb[1])
-                elif tabs[i] is not None:
-                    seq = False  # tab without nbr info (shouldn't happen)
         groups.append(
             GibbsColorGroup(
                 n_colors=nc,
@@ -1074,7 +1024,6 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                 vars_=jnp.asarray(vars_g.astype(np.int32)),
                 sizes=jnp.asarray(sizes_g.astype(np.int32)),
                 bucket_tabs=tuple(tabs),
-                seq=seq,
             )
         )
     return GibbsColorPlan(groups=tuple(groups))

@@ -60,6 +60,20 @@ class Potential:
     def kernel(self, pattern: Tuple[bool, ...]) -> Callable:
         raise NotImplementedError
 
+    def kernel_planar(self, pattern: Tuple[bool, ...]):
+        """Optional slot-major kernel: ``log_pot(params, slots)`` where
+        ``slots`` is a list of SAME-SHAPED arrays, one per argument in
+        order (continuous values / discrete domain values), and params
+        leaves carry a leading factor axis broadcastable against them.
+
+        The Pallas fused log-potential kernel (``ops/logpot.py``) requires
+        it: the slot-minor ``[..., a]`` layout of :meth:`kernel` puts a
+        tiny arity axis on the TPU lane dimension and wastes 64x+ of the
+        vector registers in-kernel. Return None (default) to opt out —
+        XLA paths never use it.
+        """
+        return None
+
     def color_key(self) -> Hashable:
         """Identity used to seed factor colors in color refinement."""
         return (self.bucket_key(), _np_key(self.param_arrays()))

@@ -62,6 +62,19 @@ class GaussianPotential(Potential):
 
         return log_pot
 
+    def kernel_planar(self, pattern):
+        a = self.mu.shape[0]
+
+        def log_pot(params, slots):
+            d = [slots[i] - params["mu"][:, i] for i in range(a)]
+            quad = 0.0
+            for i in range(a):  # arity is tiny — unrolled VPU math
+                for j in range(a):
+                    quad = quad + params["prec"][:, i, j] * d[i] * d[j]
+            return params["log_coef"] - 0.5 * quad
+
+        return log_pot
+
 
 class LinearGaussianPotential(Potential):
     """Pairwise linear-Gaussian coupling: ``log φ(x,y) = −(y − coeff·x)² / (2σ²)``."""
@@ -84,6 +97,13 @@ class LinearGaussianPotential(Potential):
     def kernel(self, pattern):
         def log_pot(params, xc, xdi, xdv):
             r = xc[..., 1] - params["coeff"] * xc[..., 0]
+            return -(r * r) / (2.0 * params["sig"])
+
+        return log_pot
+
+    def kernel_planar(self, pattern):
+        def log_pot(params, slots):
+            r = slots[1] - params["coeff"] * slots[0]
             return -(r * r) / (2.0 * params["sig"])
 
         return log_pot
@@ -113,6 +133,19 @@ class QuadraticPotential(Potential):
 
         return log_pot
 
+    def kernel_planar(self, pattern):
+        a = self.b.shape[0]
+
+        def log_pot(params, slots):
+            out = params["c"] * jnp.ones_like(slots[0])
+            for i in range(a):
+                out = out + params["b"][:, i] * slots[i]
+                for j in range(a):
+                    out = out + params["A"][:, i, j] * slots[i] * slots[j]
+            return out
+
+        return log_pot
+
 
 class XYPotential(Potential):
     """Product coupling ``log φ(x,y) = coeff · x · y / sig`` (attractive for
@@ -133,6 +166,12 @@ class XYPotential(Potential):
     def kernel(self, pattern):
         def log_pot(params, xc, xdi, xdv):
             return params["coeff"] * xc[..., 0] * xc[..., 1] / params["sig"]
+
+        return log_pot
+
+    def kernel_planar(self, pattern):
+        def log_pot(params, slots):
+            return params["coeff"] * slots[0] * slots[1] / params["sig"]
 
         return log_pot
 
@@ -222,6 +261,17 @@ class MLNPotential(Potential):
 
         return log_pot
 
+    def kernel_planar(self, pattern):
+        formula, hard = self.formula, self.hard
+
+        def log_pot(params, slots):
+            truth = formula(list(slots))
+            if hard:
+                return params["w"] * (truth - 1.0)
+            return params["w"] * truth
+
+        return log_pot
+
     def color_key(self):
         return (self.bucket_key(), float(self.w))
 
@@ -248,6 +298,13 @@ class ImageNodePotential(Potential):
 
         return log_pot
 
+    def kernel_planar(self, pattern):
+        def log_pot(params, slots):
+            d = slots[0] - slots[1]
+            return -(d * d) / (2.0 * params["alpha"])
+
+        return log_pot
+
 
 class ImageEdgePotential(Potential):
     """Robust truncated pairwise smoothness:
@@ -268,6 +325,13 @@ class ImageEdgePotential(Potential):
     def kernel(self, pattern):
         def log_pot(params, xc, xdi, xdv):
             d = jnp.abs(xc[..., 0] - xc[..., 1])
+            return -jnp.minimum(d, params["cap"]) / params["scale"]
+
+        return log_pot
+
+    def kernel_planar(self, pattern):
+        def log_pot(params, slots):
+            d = jnp.abs(slots[0] - slots[1])
             return -jnp.minimum(d, params["cap"]) / params["scale"]
 
         return log_pot

@@ -125,8 +125,8 @@ def test_planned_sweep_matches_exact_marginals():
 
 
 def _clique_model(n=12, seed=0):
-    """All-pairs soft-MLN clique: the conflict graph needs n colors, so the
-    plan emits a sequential pair group (GibbsColorGroup.seq)."""
+    """All-pairs soft-MLN clique: the conflict graph needs n colors — the
+    worst case for chromatic sweeps (n sequential color steps)."""
     dom = Domain([0, 1])
     zs = [RV(dom, name=f"z{i}") for i in range(n)]
     rng = np.random.default_rng(seed)
@@ -141,35 +141,12 @@ def _clique_model(n=12, seed=0):
     return Graph(zs, fs), zs
 
 
-def test_seq_group_sweep_matches_generic_path():
-    """The sequential pair-group fast path must produce the same sweep as
-    the generic per-color path under the same keys (same conditionals,
-    same sampling order)."""
-    g, _ = _clique_model()
-    fg = compile_graph(g)
-    plan = fg.color_plan
-    assert any(grp.seq for grp in plan.groups), "expected a seq group"
-    fg_gen = fg.replace(
-        color_plan=plan.replace(
-            groups=tuple(grp.replace(seq=False) for grp in plan.groups)
-        )
-    )
-    xc0 = jnp.zeros((fg.n_cont,))
-    for s in range(3):
-        key = jax.random.PRNGKey(s)
-        xc, xd0 = _rand_state(fg, s)
-        a = np.asarray(hmc.gibbs_sweep_planned(fg, key, xc0, xd0))
-        b = np.asarray(hmc.gibbs_sweep_planned(fg_gen, key, xc0, xd0))
-        assert (a == b).all(), (s, a, b)
-
-
-def test_seq_group_sweep_matches_exact_marginals():
-    """Chromatic Gibbs through the seq fast path recovers the exact
-    marginals of an enumerable 12-var clique."""
+def test_clique_sweep_matches_exact_marginals():
+    """Planned chromatic Gibbs recovers the exact marginals of an
+    enumerable 12-var all-pairs clique (singleton color classes)."""
     g, zs = _clique_model()
     exact = ExactPosterior(g)
     fg = compile_graph(g)
-    assert any(grp.seq for grp in fg.color_plan.groups)
 
     C, S = 256, 400
 

@@ -97,3 +97,44 @@ def test_batched_broadcasting():
     assert out.shape == (5, 7)
     want = stats.multivariate_normal([0, 0], np.eye(2)).logpdf([0, 0])
     assert np.allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_planar_kernels_match_slot_minor():
+    """kernel_planar (slot-major, Pallas layout) must agree with the
+    slot-minor kernel on every potential that provides it."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (GaussianPotential([0.5, -1.0], [[2.0, 0.3], [0.3, 1.0]]),
+         (True, True)),
+        (LinearGaussianPotential(coeff=1.3, sig=0.7), (True, True)),
+        (QuadraticPotential(A=[[-0.5, 0.1], [0.1, -0.4]], b=[1.0, -2.0],
+                            c=0.3), (True, True)),
+        (XYPotential(coeff=2.0, sig=4.0), (True, True)),
+        (ImageNodePotential(alpha=2.0), (True, True)),
+        (ImageEdgePotential(distance_cap=1.0, scale=2.0), (True, True)),
+        (MLNPotential(lambda a: a[0] * a[1] + a[2], w=2.0,
+                      formula_name="mix3"), (True, False, True)),
+        (MLNPotential(lambda a: a[0] * (1.0 - a[1]), w=None,
+                      formula_name="hard2"), (False, False)),
+    ]
+    n = 16
+    for pot, pattern in cases:
+        planar = pot.kernel_planar(pattern)
+        assert planar is not None, type(pot).__name__
+        minor = pot.kernel(pattern)
+        a = len(pattern)
+        slots = [jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+                 for _ in range(a)]
+        params = {k: jnp.broadcast_to(jnp.asarray(v), (n,) + np.shape(v))
+                  for k, v in pot.param_arrays().items()}
+        xc = jnp.stack([s for s, c in zip(slots, pattern) if c], -1) \
+            if any(pattern) else jnp.zeros((n, 0))
+        xdv = jnp.stack([s for s, c in zip(slots, pattern) if not c], -1) \
+            if not all(pattern) else jnp.zeros((n, 0))
+        xdi = jnp.zeros(xdv.shape, jnp.int32)
+        want = np.asarray(minor(params, xc, xdi, xdv))
+        got = np.asarray(planar(params, list(slots)))
+        assert got.shape == want.shape == (n,), type(pot).__name__
+        assert np.allclose(got, want, atol=1e-5), type(pot).__name__
