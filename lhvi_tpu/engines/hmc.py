@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from lhvi_tpu.fg.compile import CompiledFG, expand_params
+from lhvi_tpu.ops.select import select_last
 
 Array = jax.Array
 _NEG_BIG = -1e30
@@ -38,6 +39,9 @@ class HMCConfig:
     gibbs_max_colors: int = struct.field(pytree_node=False, default=0)
     adapt_mass: bool = struct.field(pytree_node=False, default=True)
     jitter: float = struct.field(pytree_node=False, default=1.0)
+    # opt-in Pallas fused log-potential/leapfrog for non-quad targets
+    # (ops/logpot.py; at parity with the XLA path at measured scales)
+    fused_logpot: bool = struct.field(pytree_node=False, default=False)
 
 
 class HMCState(NamedTuple):
@@ -127,6 +131,12 @@ def _color_class_logits(fg: CompiledFG, grp, tabs, xc, xd):
             cand[None, :, None],
             jnp.broadcast_to(xdi[:, None, :], (R, V, ad)),
         )  # [R, V, ad] — all slots of the target var move jointly
+        # NOTE: keep take_along_axis here — the unrolled compare-select
+        # (ops.select.select_last) reproducibly FAULTS the TPU worker when
+        # fused into the pod-scale color-plan scan (XLA:TPU codegen bug,
+        # bisected 2026-08-17: same program runs with take_along_axis,
+        # crashes with select_last; shapes here are small so the gather
+        # lowering is not the bottleneck it is in the [C, n_f] paths).
         vals = jnp.broadcast_to(
             t["disc_vals"][:, None], (R, V, ad, t["disc_vals"].shape[-1])
         )
@@ -220,24 +230,22 @@ def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
     zero xc-gradient).
     """
     if not fg.cont_pure_quad:
+        from lhvi_tpu.ops.logpot import logpot_leapfrog
+
         C = xc.shape[0]
         k_mom, k_acc = jax.random.split(key)
-        logp = lambda x: fg.log_prob_cont_batched(x, xd)  # [C]
-        grad = jax.grad(lambda x: jnp.sum(logp(x)))  # chains independent
         std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
         p0 = std[None, :] * jax.random.normal(k_mom, xc.shape)
-
-        def body(_, carry):
-            x, p = carry
-            p = p + 0.5 * eps * grad(x)
-            x = x + eps * (inv_mass[None, :] * p)
-            p = p + 0.5 * eps * grad(x)
-            return x, p
-
-        x1, p1 = jax.lax.fori_loop(0, cfg.n_leapfrog, body, (xc, p0))
+        # fused-by-XLA batched leapfrog by default; cfg.fused_logpot
+        # opts into the Pallas fused log-potential kernel (ops/logpot.py)
+        # — either way the trajectory energies come back with the endpoint
+        x1, p1, lp0, lp1 = logpot_leapfrog(
+            fg, xc, p0, xd, inv_mass, eps, cfg.n_leapfrog,
+            plan="auto" if cfg.fused_logpot else None,
+        )
         ke = lambda p: 0.5 * jnp.sum(inv_mass[None, :] * p * p, axis=-1)
-        h0 = -logp(xc) + ke(p0)
-        h1 = -logp(x1) + ke(p1)
+        h0 = -lp0 + ke(p0)
+        h1 = -lp1 + ke(p1)
         log_acc = jnp.minimum(0.0, h0 - h1)
         log_acc = jnp.where(jnp.isfinite(log_acc), log_acc, -jnp.inf)
         accept = jnp.log(jax.random.uniform(k_acc, (C,))) < log_acc

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from lhvi_tpu.fg.compile import CompiledFG
+from lhvi_tpu.ops.select import select_last
 
 Array = jax.Array
 
@@ -53,7 +54,7 @@ def run_mws(fg: CompiledFG, key: Array, cfg: MWSConfig = MWSConfig()):
         def greedy(xc, xd):
             if fg.n_disc:
                 logits = fg.disc_logits(xc, xd)  # [n_disc, V]
-                cur = jnp.take_along_axis(logits, xd[:, None], 1)[:, 0]
+                cur = select_last(logits, xd)
                 gain = jnp.max(logits, axis=1) - cur
                 v = jnp.argmax(gain)
                 best_val = jnp.argmax(logits[v]).astype(jnp.int32)

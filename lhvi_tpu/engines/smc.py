@@ -54,6 +54,10 @@ class SMCConfig:
     # ~10-20% here — SMC is reweight/resample-latency-bound, unlike the
     # 65k-chain HMC loop where the VMEM-resident kernel wins.
     quad_moves: bool = struct.field(pytree_node=False, default=False)
+    # opt-in Pallas fused log-potential/leapfrog for NON-quad tempered
+    # moves (ops/logpot.py; at parity with the XLA path at measured
+    # scales — see logpot_leapfrog docstring)
+    fused_logpot: bool = struct.field(pytree_node=False, default=False)
 
 
 class SMCState(NamedTuple):
@@ -161,25 +165,23 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
             # buckets are constant in xc at each particle's fixed xd and
             # cancel exactly in the MH ratio)
             def move_batched(km, ka, xc, xd):
-                logp = lambda X: (
-                    beta * fg.log_prob_cont_batched(X, xd)
-                    + (1.0 - beta) * _base_log_prob(fg, cfg, X)
-                )  # [N]
-                grad = jax.grad(lambda X: jnp.sum(logp(X)))
+                # batched leapfrog on the tempered target via
+                # ops/logpot.py (XLA path by default; cfg.fused_logpot
+                # opts into the Pallas fused kernel). The base-measure
+                # constants dropped by logpot_leapfrog cancel in h0−h1.
+                from lhvi_tpu.ops.logpot import logpot_leapfrog
+
+                mid = 0.5 * (fg.cont_lo + fg.cont_hi)
+                scale = cfg.base_scale * jnp.ones_like(mid)
                 p0 = jax.random.normal(km, xc.shape)
-
-                def body(_, carry):
-                    x, p = carry
-                    p = p + 0.5 * cfg.step_size * grad(x)
-                    x = x + cfg.step_size * p
-                    p = p + 0.5 * cfg.step_size * grad(x)
-                    return x, p
-
-                x1, p1 = jax.lax.fori_loop(
-                    0, cfg.n_leapfrog, body, (xc, p0)
+                x1, p1, lp0, lp1 = logpot_leapfrog(
+                    fg, xc, p0, xd, jnp.ones(fg.n_cont), cfg.step_size,
+                    cfg.n_leapfrog, beta=beta, base_mid=mid,
+                    base_inv_s2=1.0 / (scale * scale),
+                    plan="auto" if cfg.fused_logpot else None,
                 )
-                h0 = -logp(xc) + 0.5 * jnp.sum(p0 * p0, -1)
-                h1 = -logp(x1) + 0.5 * jnp.sum(p1 * p1, -1)
+                h0 = -lp0 + 0.5 * jnp.sum(p0 * p0, -1)
+                h1 = -lp1 + 0.5 * jnp.sum(p1 * p1, -1)
                 ok = (
                     jnp.log(jax.random.uniform(ka, (N,)))
                     < jnp.minimum(0.0, h0 - h1)

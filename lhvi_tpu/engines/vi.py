@@ -32,6 +32,7 @@ import optax
 from flax import struct
 
 from lhvi_tpu.fg.compile import CompiledFG, FactorBucket, expand_params
+from lhvi_tpu.ops.select import select_last
 
 Array = jax.Array
 
@@ -156,13 +157,9 @@ def _bucket_expected_logpot(
         # per-component weight of each grid point: Π over latent disc slots
         # of b_k(var)[val]; invalid values carry zero belief mass.
         bprob = bd[:, b.disc_idx]  # [K, n_f, ad, Vmax]
-        sel = jnp.take_along_axis(
-            jnp.broadcast_to(
-                bprob[:, :, None, :, :], bprob.shape[:2] + (G,) + bprob.shape[2:]
-            ),
-            xdi[None, :, :, :, None],
-            axis=-1,
-        )[..., 0]  # [K, n_f, G, ad]
+        sel = select_last(
+            bprob[:, :, None, :, :], xdi[None]
+        )  # [K, n_f, G, ad]
         w_disc = jnp.prod(
             jnp.where(b.disc_mask[None, :, None, :] > 0, sel, 1.0), axis=-1
         )  # [K, n_f, G]

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from lhvi_tpu.fg.graph import Domain, F, Graph, RV
+from lhvi_tpu.ops.select import select_last
 
 Array = jax.Array
 
@@ -138,8 +139,7 @@ class FactorBucket:
         vals = self.disc_vals.reshape(
             (self.disc_vals.shape[0],) + (1,) * n_extra + self.disc_vals.shape[1:]
         )
-        vals = jnp.broadcast_to(vals, xdi.shape + vals.shape[-1:])
-        return jnp.take_along_axis(vals, xdi[..., None], axis=-1)[..., 0]
+        return select_last(vals, xdi)
 
     def gather_args_batched(self, xc: Array, xd: Array):
         """Batched ``gather_args``: state ``[C, n_cont]/[C, n_disc]`` →
@@ -165,10 +165,7 @@ class FactorBucket:
             self.disc_const[None],
         )
         if self.ad:
-            vals = jnp.broadcast_to(
-                self.disc_vals[None], xdi.shape + self.disc_vals.shape[-1:]
-            )
-            xdv = jnp.take_along_axis(vals, xdi[..., None], axis=-1)[..., 0]
+            xdv = select_last(self.disc_vals[None], xdi)
         else:
             xdv = xdi.astype(jnp.float32)
         params = jax.tree_util.tree_map(lambda a: a[None], self.params)

@@ -61,16 +61,20 @@ class Potential:
         raise NotImplementedError
 
     def kernel_planar(self, pattern: Tuple[bool, ...]):
-        """Optional slot-major kernel: ``log_pot(params, slots)`` where
-        ``slots`` is a list of SAME-SHAPED arrays, one per argument in
-        order (continuous values / discrete domain values), and params
-        leaves carry a leading factor axis broadcastable against them.
+        """Optional factor-minor kernel: ``log_pot(params, slots)`` where
+        ``slots`` is a list of SAME-SHAPED ``[..., F]`` arrays, one per
+        argument in order (continuous values / discrete domain values),
+        and every ``params`` leaf is 2D ``[k, F]`` — the per-factor
+        component dims flattened row-major into ``k`` rows, factors on
+        the minor axis. Components are read with static row slices
+        (``leaf[i:i+1]`` → ``[1, F]``), which broadcast against slots.
 
         The Pallas fused log-potential kernel (``ops/logpot.py``) requires
-        it: the slot-minor ``[..., a]`` layout of :meth:`kernel` puts a
-        tiny arity axis on the TPU lane dimension and wastes 64x+ of the
-        vector registers in-kernel. Return None (default) to opt out —
-        XLA paths never use it.
+        this layout: factors ride the TPU lane dimension, components are
+        unrolled — the slot-minor ``[..., arity]`` layout of
+        :meth:`kernel` would waste 64x+ of the vector registers
+        in-kernel. Return None (default) to opt out — XLA paths never
+        use it.
         """
         return None
 

@@ -19,6 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from lhvi_tpu.potentials.base import Potential
+from lhvi_tpu.ops.select import select_last
 
 _HARD_PENALTY = 1e6
 
@@ -66,12 +67,13 @@ class GaussianPotential(Potential):
         a = self.mu.shape[0]
 
         def log_pot(params, slots):
-            d = [slots[i] - params["mu"][:, i] for i in range(a)]
+            d = [slots[i] - params["mu"][i : i + 1] for i in range(a)]
             quad = 0.0
             for i in range(a):  # arity is tiny — unrolled VPU math
                 for j in range(a):
-                    quad = quad + params["prec"][:, i, j] * d[i] * d[j]
-            return params["log_coef"] - 0.5 * quad
+                    pij = params["prec"][i * a + j : i * a + j + 1]
+                    quad = quad + pij * d[i] * d[j]
+            return params["log_coef"][0:1] - 0.5 * quad
 
         return log_pot
 
@@ -103,8 +105,8 @@ class LinearGaussianPotential(Potential):
 
     def kernel_planar(self, pattern):
         def log_pot(params, slots):
-            r = slots[1] - params["coeff"] * slots[0]
-            return -(r * r) / (2.0 * params["sig"])
+            r = slots[1] - params["coeff"][0:1] * slots[0]
+            return -(r * r) / (2.0 * params["sig"][0:1])
 
         return log_pot
 
@@ -137,11 +139,12 @@ class QuadraticPotential(Potential):
         a = self.b.shape[0]
 
         def log_pot(params, slots):
-            out = params["c"] * jnp.ones_like(slots[0])
+            out = params["c"][0:1] + 0.0 * slots[0]
             for i in range(a):
-                out = out + params["b"][:, i] * slots[i]
+                out = out + params["b"][i : i + 1] * slots[i]
                 for j in range(a):
-                    out = out + params["A"][:, i, j] * slots[i] * slots[j]
+                    aij = params["A"][i * a + j : i * a + j + 1]
+                    out = out + aij * slots[i] * slots[j]
             return out
 
         return log_pot
@@ -171,7 +174,10 @@ class XYPotential(Potential):
 
     def kernel_planar(self, pattern):
         def log_pot(params, slots):
-            return params["coeff"] * slots[0] * slots[1] / params["sig"]
+            return (
+                params["coeff"][0:1] * slots[0] * slots[1]
+                / params["sig"][0:1]
+            )
 
         return log_pot
 
@@ -205,10 +211,7 @@ class TablePotential(Potential):
     def kernel(self, pattern):
         def log_pot(params, xc, xdi, xdv):
             flat = jnp.sum(xdi * params["strides"], axis=-1)
-            table = jnp.broadcast_to(
-                params["log_table"], flat.shape + params["log_table"].shape[-1:]
-            )
-            return jnp.take_along_axis(table, flat[..., None], axis=-1)[..., 0]
+            return select_last(params["log_table"], flat)
 
         return log_pot
 
@@ -267,8 +270,8 @@ class MLNPotential(Potential):
         def log_pot(params, slots):
             truth = formula(list(slots))
             if hard:
-                return params["w"] * (truth - 1.0)
-            return params["w"] * truth
+                return params["w"][0:1] * (truth - 1.0)
+            return params["w"][0:1] * truth
 
         return log_pot
 
@@ -301,7 +304,7 @@ class ImageNodePotential(Potential):
     def kernel_planar(self, pattern):
         def log_pot(params, slots):
             d = slots[0] - slots[1]
-            return -(d * d) / (2.0 * params["alpha"])
+            return -(d * d) / (2.0 * params["alpha"][0:1])
 
         return log_pot
 
@@ -332,7 +335,9 @@ class ImageEdgePotential(Potential):
     def kernel_planar(self, pattern):
         def log_pot(params, slots):
             d = jnp.abs(slots[0] - slots[1])
-            return -jnp.minimum(d, params["cap"]) / params["scale"]
+            return (
+                -jnp.minimum(d, params["cap"][0:1]) / params["scale"][0:1]
+            )
 
         return log_pot
 

@@ -135,6 +135,11 @@ def test_planar_kernels_match_slot_minor():
             if not all(pattern) else jnp.zeros((n, 0))
         xdi = jnp.zeros(xdv.shape, jnp.int32)
         want = np.asarray(minor(params, xc, xdi, xdv))
-        got = np.asarray(planar(params, list(slots)))
-        assert got.shape == want.shape == (n,), type(pot).__name__
-        assert np.allclose(got, want, atol=1e-5), type(pot).__name__
+        # planar: [k, F] leaves (components x factors), [..., F] slots
+        pparams = {
+            k: jnp.asarray(np.asarray(v).reshape(n, -1).T)
+            for k, v in params.items()
+        }
+        got = np.asarray(planar(pparams, [s[None, :] for s in slots]))
+        assert got.shape == (1, n), type(pot).__name__
+        assert np.allclose(got[0], want, atol=1e-5), type(pot).__name__
