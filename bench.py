@@ -11,6 +11,9 @@ Extra fields (same JSON line, full BASELINE metric set):
   vi_steps_per_s          fused closed-form ELBO Adam steps/s (grid, K=8)
   vi_lifted_steps_per_s   lifted quadrature-ELBO steps/s on the 103k-var
                           friends-smokers-320 model (18 orbits, K=4)
+  hmc_nonquad_robot_samples_per_s
+                          NON-quadratic HMC-within-Gibbs iterations/s on
+                          the robot-mapping HMLN (16384 chains)
 
 ``vs_baseline``: the reference is a single-machine pure-Python/numpy
 codebase with no published numbers (BASELINE.md), so the baseline is a
@@ -202,6 +205,35 @@ def vi_lifted_throughput(n_people=320):
     return cfg.n_iters / dt
 
 
+def hmc_robot_throughput(n_segments=100, n_chains=16384):
+    """NON-quadratic HMC-within-Gibbs on the robot-mapping HMLN
+    (hybrid MLN potentials + discrete type latents): full iterations/s
+    through the public run_hmc path — exercises the batched non-quad
+    leapfrog (ops/logpot.py XLA path) and the chromatic Gibbs plan."""
+    import jax
+    from lhvi_tpu import compile_graph
+    from lhvi_tpu.engines import hmc
+    from lhvi_tpu.models.relational import robot_map, robot_scan_evidence
+    from lhvi_tpu.relational.data import load_evidence
+
+    text, _ = robot_scan_evidence(n_segments, seed=0)
+    g, _ = robot_map(n_segments, evidence=load_evidence(text)).ground()
+    fg = compile_graph(g)
+    cfg = hmc.HMCConfig(n_leapfrog=N_LEAPFROG, init_step_size=0.05)
+    n_samples = 50
+
+    def run(rep):
+        moments, _, _ = hmc.run_hmc(
+            fg, jax.random.PRNGKey(rep), cfg,
+            n_chains=n_chains, n_warmup=0, n_samples=n_samples,
+            collect="moments",
+        )
+        return moments
+
+    dt = _timed(run, lambda out: float(out["mean"][0]))
+    return n_chains * n_samples / dt
+
+
 def main():
     import jax
 
@@ -221,6 +253,7 @@ def main():
         ("smc_particles_per_s", lambda: smc_throughput(g)),
         ("vi_steps_per_s", lambda: vi_throughput(g)),
         ("vi_lifted_steps_per_s", vi_lifted_throughput),
+        ("hmc_nonquad_robot_samples_per_s", hmc_robot_throughput),
     ):
         try:
             out[name] = round(fn(), 1)
