@@ -30,7 +30,14 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "data", "robot_map.db"
     )
     evidence = load_evidence(data)
-    _, true_types = robot_scan_evidence(cfg.n_segments, seed=0)
+    # ground-truth labels exist only for the bundled synthetic scan
+    # (data/robot_map.db is robot_scan_evidence(seed=0) on disk); a
+    # user-supplied --data file has no known labels to score against
+    true_types = (
+        robot_scan_evidence(cfg.n_segments, seed=0)[1]
+        if not cfg.data
+        else None
+    )
 
     rg = robot_map(cfg.n_segments, evidence=evidence)
     g, index = rg.ground()
@@ -50,16 +57,23 @@ def main():
         probs = np.asarray(res.disc_marginal(rv))
         pred = int(probs.argmax())
         total += 1
-        correct += pred == true_types[i]
+        if true_types is not None:
+            correct += pred == true_types[i]
         if i < 8:
-            print(f"  type(s{i}): P={probs.round(3)}  pred={pred} "
-                  f"true={true_types[i]}")
-    print(f"type accuracy on {total} unlabeled segments: {correct}/{total}")
+            true = f" true={true_types[i]}" if true_types is not None else ""
+            print(f"  type(s{i}): P={probs.round(3)}  pred={pred}{true}")
+    if true_types is not None:
+        print(f"type accuracy on {total} unlabeled segments: "
+              f"{correct}/{total}")
+    else:
+        print(f"{total} unlabeled segments classified "
+              "(no ground truth for user-supplied --data)")
     for i in range(cfg.n_segments):
         rv = index[("depth", (f"s{i}",))]
         if not rv.observed:
-            print(f"  E[depth(s{i})] = {res.mean(rv):+.3f} "
-                  f"(true segment type {true_types[i]})")
+            true = (f" (true segment type {true_types[i]})"
+                    if true_types is not None else "")
+            print(f"  E[depth(s{i})] = {res.mean(rv):+.3f}{true}")
 
 
 if __name__ == "__main__":

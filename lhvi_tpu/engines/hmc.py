@@ -423,6 +423,11 @@ def run_hmc(
     by XLA.
     """
     k_init, k_warm, k_samp = jax.random.split(key, 3)
+    if shard is not None and cfg.fused_logpot:
+        # a pallas_call does not SPMD-partition: keeping the fused kernel
+        # on a sharded chain axis would gather the full [C, n] state onto
+        # one device every transition (same rule as NUTSConfig.pallas)
+        cfg = cfg.replace(fused_logpot=False)
     state = init_hmc_state(fg, k_init, cfg, n_chains, shard)
     trans = lambda s, k, adapt: hmc_transition(fg, cfg, s, k, adapt)
     state = run_warmup(fg, cfg, state, k_warm, n_warmup, trans)

@@ -54,6 +54,19 @@ class NUTSConfig:
     # does not SPMD-partition, so multi-chip runs use the XLA path.
     pallas: bool = struct.field(pytree_node=False, default=True)
 
+    def to_hmc(self) -> "_hmc.HMCConfig":
+        """The HMCConfig sharing this config's warmup/Gibbs fields — the
+        SINGLE mapping point (init, warmup, and the checkpointed driver
+        all route through it; add new shared fields here only)."""
+        return _hmc.HMCConfig(
+            init_step_size=self.init_step_size,
+            target_accept=self.target_accept,
+            gibbs_sweeps=self.gibbs_sweeps,
+            gibbs_max_colors=self.gibbs_max_colors,
+            adapt_mass=self.adapt_mass,
+            jitter=self.jitter,
+        )
+
 
 def _popcount(n):
     return jax.lax.population_count(n.astype(jnp.uint32)).astype(jnp.int32)
@@ -336,13 +349,7 @@ def nuts_transition(fg: CompiledFG, cfg: NUTSConfig, state: "_hmc.HMCState",
     """One NUTS-within-Gibbs transition for all chains. Returns
     ``(state, (acc [C], depth [C], div [C]))`` — the unit the run/warmup
     scans and the checkpointed driver are built from."""
-    hcfg = _hmc.HMCConfig(
-        init_step_size=cfg.init_step_size,
-        target_accept=cfg.target_accept,
-        gibbs_sweeps=cfg.gibbs_sweeps,
-        gibbs_max_colors=cfg.gibbs_max_colors,
-        adapt_mass=cfg.adapt_mass,
-    )
+    hcfg = cfg.to_hmc()
     k_g, k_n = jax.random.split(key)
     xd = (_hmc.sweep_all(fg, hcfg, k_g, state.xc, state.xd)
           if fg.n_disc else state.xd)
@@ -380,14 +387,7 @@ def run_nuts(
     ``hmc.run_hmc`` (collect="samples"|"moments", thin streams inside the
     scan, shard distributes the chain axis over a mesh)."""
     k_init, k_warm, k_samp = jax.random.split(key, 3)
-    hcfg = _hmc.HMCConfig(
-        init_step_size=cfg.init_step_size,
-        target_accept=cfg.target_accept,
-        gibbs_sweeps=cfg.gibbs_sweeps,
-        gibbs_max_colors=cfg.gibbs_max_colors,
-        adapt_mass=cfg.adapt_mass,
-        jitter=cfg.jitter,
-    )
+    hcfg = cfg.to_hmc()
     state = _hmc.init_hmc_state(fg, k_init, hcfg, n_chains, shard)
     if shard is not None and cfg.pallas:
         cfg = cfg.replace(pallas=False)  # pallas_call does not partition

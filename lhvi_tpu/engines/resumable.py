@@ -63,6 +63,8 @@ def sample_checkpointed(
 
     if engine == "hmc":
         cfg = cfg or _hmc.HMCConfig()
+        if shard is not None and cfg.fused_logpot:
+            cfg = cfg.replace(fused_logpot=False)  # pallas: no partition
         hcfg = cfg
 
         def trans(state, k):
@@ -73,14 +75,7 @@ def sample_checkpointed(
         cfg = cfg or _nuts.NUTSConfig()
         if shard is not None and cfg.pallas:
             cfg = cfg.replace(pallas=False)  # pallas_call doesn't partition
-        hcfg = _hmc.HMCConfig(
-            init_step_size=cfg.init_step_size,
-            target_accept=cfg.target_accept,
-            gibbs_sweeps=cfg.gibbs_sweeps,
-            gibbs_max_colors=cfg.gibbs_max_colors,
-            adapt_mass=cfg.adapt_mass,
-            jitter=cfg.jitter,
-        )
+        hcfg = cfg.to_hmc()
 
         def trans(state, k):
             state, (acc, _, _) = _nuts.nuts_transition(fg, cfg, state, k,

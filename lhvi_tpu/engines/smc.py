@@ -105,6 +105,11 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
     permute collectives, all inserted by XLA.
     """
     N = cfg.n_particles
+    if shard is not None and cfg.fused_logpot:
+        # a pallas_call does not SPMD-partition: keep rejuvenation moves
+        # on the XLA path so the particle axis stays distributed (same
+        # rule as the weight pipeline below and NUTSConfig.pallas)
+        cfg = cfg.replace(fused_logpot=False)
     k0, key = jax.random.split(key)
     mid = 0.5 * (fg.cont_lo + fg.cont_hi)
     kc, kd = jax.random.split(k0)

@@ -692,6 +692,11 @@ def compile_graph(
         "cont_counts": np.asarray(cont_counts, np.float32),
         "disc_counts": np.asarray(disc_counts, np.float32),
     }
+    if has_quad:
+        # host mirror of the information form: kernel plans built inside a
+        # jitted caller (where quad_J/quad_h are tracers) read these
+        meta.np_global["quad_J"] = np.asarray(J, np.float32)
+        meta.np_global["quad_h"] = np.asarray(h, np.float32)
 
     return CompiledFG(
         buckets=tuple(buckets),

@@ -44,6 +44,7 @@ base`` up to an x-independent constant — exact for MH accept ratios.
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -371,7 +372,10 @@ def _pallas_logpot_leapfrog(plan, x, p, dvals, inv_mass, eps, beta,
             dvp = jnp.zeros((c_pad, F_pad), jnp.float32)
             dvp = dvp.at[:C, :F].set(dv)
             if F < F_pad:  # keep padded slots at a finite (col-0) value
-                dvp = dvp.at[:, F:].set(dv[:, :1])
+                # source the padded column from dvp (rows already padded
+                # to c_pad); dv[:, :1] is [C, 1] and would fail to
+                # broadcast whenever C != c_pad
+                dvp = dvp.at[:, F:].set(dvp[:, :1])
             add(f"b{bi}_dv{di}", dvp, blocked(F_pad))
 
     out_names = ["xo", "po", "e0o", "e1o"]
@@ -405,12 +409,38 @@ def _attach_quad(plan: LogpotPlan, fg):
     if plan.has_quad and not hasattr(plan, "Jp"):
         n_pad = plan.n_pad
         n = fg.n_cont
+        # prefer the host numpy mirror: fg.quad_J is a tracer when the
+        # plan is (re)built inside a jitted caller
+        npg = fg.meta.np_global
+        qJ = npg.get("quad_J", fg.quad_J)
+        qh = npg.get("quad_h", fg.quad_h)
         J = np.zeros((n_pad, n_pad), np.float32)
-        J[:n, :n] = np.asarray(fg.quad_J, np.float32)
+        J[:n, :n] = np.asarray(qJ, np.float32)
         h = np.zeros((1, n_pad), np.float32)
-        h[0, :n] = np.asarray(fg.quad_h, np.float32)
+        h[0, :n] = np.asarray(qh, np.float32)
         plan.Jp = jnp.asarray(J)
         plan.hp = jnp.asarray(h)
+
+
+# ``plan="auto"`` resolves through this cache so every trace of a caller
+# reuses ONE plan object per compiled graph: the host-side one-hot G/GT
+# builds run once, and the jit cache of ``_pallas_logpot_leapfrog`` —
+# static-keyed on plan identity — hits instead of re-running a Mosaic
+# compile of an identical kernel. Keyed weakly on ``fg.meta`` (host-side,
+# identity-hashed, shared by every retrace of the same CompiledFG).
+_PLAN_CACHE: Any = weakref.WeakKeyDictionary()
+
+
+def logpot_plan_cached(fg) -> Optional[LogpotPlan]:
+    try:
+        return _PLAN_CACHE[fg.meta]
+    except KeyError:
+        pass
+    plan = logpot_plan(fg)
+    if plan is not None:
+        _attach_quad(plan, fg)
+    _PLAN_CACHE[fg.meta] = plan
+    return plan
 
 
 def _jnp_logpot_leapfrog(fg, x, p, xd, inv_mass, eps, beta, base_mid,
@@ -470,7 +500,9 @@ def logpot_leapfrog(fg, x, p, xd, inv_mass, eps, n_steps: int,
         base_is2 = base_inv_s2
     if plan == "auto":
         plan = (
-            logpot_plan(fg) if jax.default_backend() == "tpu" else None
+            logpot_plan_cached(fg)
+            if jax.default_backend() == "tpu"
+            else None
         )
     if plan is not None:
         _attach_quad(plan, fg)

@@ -47,7 +47,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _nuts_traj_kernel(seed_ref, eps_ref, q0_ref, p0_ref, J_ref, h_ref,
                       im_ref, qp_ref, diag_ref, qck_ref, pck_ref,
-                      *, max_depth: int, bc: int, n_pad: int):
+                      *, max_depth: int, bc: int, n_pad: int,
+                      n_chains: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -97,6 +98,12 @@ def _nuts_traj_kernel(seed_ref, eps_ref, q0_ref, p0_ref, J_ref, h_ref,
     zs = lp0 * 0.0
     neg_inf = zs - jnp.float32(jnp.inf)
     one_row = zs + 1.0
+    # padded chain columns (q0=p0=0) never diverge or U-turn on their own:
+    # start them done so the while loop exits when the REAL chains finish
+    # instead of always integrating all 2^max_depth leaves of the block
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, bc), 1) \
+        + pl.program_id(0) * bc
+    done0 = zs + (col >= n_chains).astype(jnp.float32)
 
     def uturn(dq, p_a, p_b):
         """[1, bc] 1.0 where the (generalized) U-turn condition holds."""
@@ -111,7 +118,7 @@ def _nuts_traj_kernel(seed_ref, eps_ref, q0_ref, p0_ref, J_ref, h_ref,
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
         q0, p0, g0, q0, p0, g0, q0, p0, g0, q0, q0,
         zs, neg_inf, zs, zs, one_row,
-        zs, zs, zs, zs,
+        done0, zs, zs, zs,
     )
 
     def cond(c):
@@ -262,7 +269,8 @@ def _pallas_nuts_traj(q0, p0, J, h, inv_mass, eps, seed, max_depth: int,
     seed_arr = jnp.reshape(seed, (1,)).astype(jnp.int32)
 
     kernel = functools.partial(
-        _nuts_traj_kernel, max_depth=max_depth, bc=bc, n_pad=n_pad
+        _nuts_traj_kernel, max_depth=max_depth, bc=bc, n_pad=n_pad,
+        n_chains=C,
     )
     qp, diag = pl.pallas_call(
         kernel,

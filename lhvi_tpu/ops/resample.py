@@ -61,13 +61,19 @@ def _weights_kernel(lw_ref, lwn_ref, cum_ref, stats_ref, *, rows: int):
     li = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
     upper = (li <= lj).astype(jnp.float32)
-    cum = jnp.dot(wn, upper, preferred_element_type=jnp.float32)
+    # HIGHEST keeps the scan exact in f32: default bf16 MXU passes would
+    # round the weights feeding searchsorted to ~2^-8 relative —
+    # inconsistent with the exactly-computed lw_norm/ESS/log_z above
+    # (a systematic offspring-count bias, not extra MC variance)
+    cum = jnp.dot(wn, upper, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     # … then exclusive row offsets: strict-lower-tri @ row totals
     row_tot = cum[:, _LANE - 1 :]  # [rows, 1] inclusive row sums
     ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
     rj = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
     lower = (rj < ri).astype(jnp.float32)
-    off = jnp.dot(lower, row_tot, preferred_element_type=jnp.float32)
+    off = jnp.dot(lower, row_tot, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     cum = cum + off
 
     lwn_ref[:] = lwn

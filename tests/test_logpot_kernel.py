@@ -125,3 +125,36 @@ def test_energy_matches_log_prob_cont_batched():
 def test_plan_gate_rejects_oversized_models():
     fg = _denoise_fg(10, 10)
     assert logpot.logpot_plan(fg, max_bytes=1 << 10) is None
+
+
+def test_fused_leapfrog_padded_chain_block():
+    """Chain count NOT a multiple of the 8-sublane padding (regression:
+    padded disc-value columns were sourced from the unpadded [C, 1]
+    slice and failed to broadcast whenever C != c_pad)."""
+    fg = _robot_fg()
+    plan = logpot.logpot_plan(fg)
+    assert plan is not None
+    C, steps, eps = 13, 3, 0.03
+    x, p, xd = _rand_states(fg, C, seed=3)
+    im = jnp.ones((fg.n_cont,), jnp.float32)
+    x0, p0, e00, e10 = logpot.logpot_leapfrog(
+        fg, x, p, xd, im, eps, steps, plan=None
+    )
+    with pltpu.force_tpu_interpret_mode():
+        x1, p1, e01, e11 = logpot.logpot_leapfrog(
+            fg, x, p, xd, im, eps, steps, plan=plan
+        )
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(e11), np.asarray(e10),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_plan_cache_returns_one_object_per_graph():
+    """plan='auto' resolves through a per-CompiledFG cache so retraces of
+    a jitted caller reuse one plan (one host build, one Mosaic compile)."""
+    fg = _robot_fg()
+    p1 = logpot.logpot_plan_cached(fg)
+    p2 = logpot.logpot_plan_cached(fg)
+    assert p1 is not None and p1 is p2
+    assert logpot.logpot_plan_cached(_denoise_fg()) is not p1
