@@ -564,7 +564,15 @@ def compile_graph(
         d_mask = np.zeros((n_raw, ad), np.float32)
         d_first = np.zeros((n_raw, ad), np.float32)
         d_const = np.zeros((n_raw, ad), np.int32)
-        d_vals = np.zeros((n_raw, ad, max_v), np.float32)
+        # value tables sized to THIS bucket's slot domains: the global
+        # max_v covers latent domains only, and an OBSERVED discrete slot
+        # may have a larger domain (every consumer reads the axis length
+        # from the array shape, so per-bucket widths are safe)
+        b_vmax = max(
+            [rv.domain.size for f in fs for rv in f.nb
+             if not rv.domain.continuous] + [1]
+        )
+        d_vals = np.zeros((n_raw, ad, b_vmax), np.float32)
         d_size = np.ones((n_raw, ad), np.int32)
         scale = np.ones(n_raw, np.float32)
 
@@ -586,7 +594,7 @@ def compile_graph(
                 else:
                     dom = rv.domain
                     d_vals[r, di, : dom.size] = dom.values
-                    if dom.size < max_v:
+                    if dom.size < b_vmax:
                         d_vals[r, di, dom.size:] = dom.values[-1]
                     d_size[r, di] = dom.size
                     if kind == "d":
