@@ -93,9 +93,16 @@ class ExactPosterior:
             )
             logp += np.asarray(lp, np.float64)
 
-        logp -= logp.max()
-        w = np.exp(logp)
+        m = logp.max()
+        w = np.exp(logp - m)
         self.w = w / w.sum()
+        # Riemann log-normalizer: counting measure on discrete values,
+        # Lebesgue (grid spacing) on continuous dims
+        log_dx = sum(
+            float(np.log(ax[1] - ax[0])) if len(ax) > 1 else 0.0
+            for ax in (self.cont_axes[id(rv)] for rv in self.cont)
+        )
+        self.log_z = float(m + np.log(w.sum()) + log_dx)
 
     # --- queries ----------------------------------------------------------
     def mean(self, rv: RV) -> float:

@@ -74,3 +74,25 @@ def test_fuzzed_graph_smc_matches_oracle(seed):
         cfg=smc.SMCConfig(n_particles=8192, n_temps=60, n_moves=2),
     )
     _check(res, oracle, g, mean_tol=0.15, var_rtol=0.35, disc_tol=0.07)
+    # evidence estimate vs the oracle's Riemann log-normalizer (both are
+    # w.r.t. Lebesgue x counting measure: SMC's base is normalized)
+    assert abs(float(res.log_z) - oracle.log_z) < 0.2, (
+        float(res.log_z), oracle.log_z,
+    )
+
+
+@pytest.mark.parametrize("seed", range(6, 10))
+def test_fuzzed_graph_vi_elbo_lower_bounds_log_z(seed):
+    """The quadrature ELBO (with the Jensen mixture-entropy bound) must
+    lower-bound the true log-normalizer on any model — catches sign or
+    measure errors in any ELBO term."""
+    from lhvi_tpu.engines import vi
+
+    g = _small_graph(seed)
+    fg = compile_graph(g)
+    oracle = ExactPosterior(g)
+    _, trace = vi.fit(fg, jax.random.PRNGKey(seed),
+                      vi.VIConfig(K=3, n_iters=400))
+    final = float(np.asarray(trace)[-1])
+    assert np.isfinite(final)
+    assert final <= oracle.log_z + 0.05, (final, oracle.log_z)
