@@ -81,6 +81,49 @@ def test_fuzzed_graph_smc_matches_oracle(seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(10, 12))
+def test_fuzzed_graph_nuts_matches_oracle(seed):
+    from lhvi_tpu.engines import nuts
+
+    g = _small_graph(seed)
+    fg = compile_graph(g)
+    oracle = ExactPosterior(g)
+    res = nuts.sample(
+        fg, jax.random.PRNGKey(seed),
+        cfg=nuts.NUTSConfig(max_depth=6),
+        n_chains=256, n_warmup=400, n_samples=400,
+    )
+    _check(res, oracle, g, mean_tol=0.12, var_rtol=0.3, disc_tol=0.06)
+
+
+@pytest.mark.parametrize("seed", range(12, 15))
+def test_fuzzed_graph_mws_reaches_oracle_map_value(seed):
+    """MaxWalkSAT's best state scores at least the oracle MAP's joint
+    log-prob minus grid slop (the search may land on a better off-grid
+    continuous point, never meaningfully below)."""
+    from lhvi_tpu.engines.map_search import HybridMaxWalkSAT, MWSConfig
+
+    g = _small_graph(seed)
+    fg = compile_graph(g)
+    oracle = ExactPosterior(g)
+    ms = oracle.map_state()
+    xc = np.zeros(fg.n_cont, np.float32)
+    xd = np.zeros(fg.n_disc, np.int32)
+    for rv, v in ms.items():
+        kind, i = fg.meta.loc(rv)
+        if kind == "c":
+            xc[i] = v
+        else:
+            xd[i] = rv.domain.value_index(v)
+    want = float(fg.log_prob(jnp.asarray(xc), jnp.asarray(xd)))
+    eng = HybridMaxWalkSAT(
+        fg, MWSConfig(n_walkers=64, n_steps=300)
+    ).run(jax.random.PRNGKey(seed))
+    got = float(fg.log_prob(jnp.asarray(eng.xc, jnp.float32),
+                            jnp.asarray(eng.xd, jnp.int32)))
+    assert got > want - 0.1, (got, want)
+
+
 @pytest.mark.parametrize("seed", range(6, 10))
 def test_fuzzed_graph_vi_elbo_lower_bounds_log_z(seed):
     """The quadrature ELBO (with the Jensen mixture-entropy bound) must
