@@ -133,7 +133,8 @@ def _bucket_expected_logpot(
     n_f, ac, ad = b.n_factors, b.ac, b.ad
 
     # continuous evaluation points: [K, n_f, G, ac]
-    if ac:
+    K = params.mu.shape[0]
+    if ac and params.mu.shape[1]:
         mu = params.mu[:, b.cont_idx]  # [K, n_f, ac]
         sig = jnp.exp(params.log_sigma)[:, b.cont_idx]
         lat = b.cont_mask[None, :, None, :]
@@ -142,8 +143,11 @@ def _bucket_expected_logpot(
             + jnp.sqrt(2.0) * sig[:, :, None, :] * node_sel[None, None, :, :]
         )
         xs = jnp.where(lat > 0, pts, b.cont_const[None, :, None, :])
+    elif ac:  # every cont slot observed (no latent cont vars to gather)
+        xs = jnp.broadcast_to(
+            b.cont_const[None, :, None, :], (K, n_f, G, ac)
+        )
     else:
-        K = params.mu.shape[0]
         xs = jnp.zeros((K, n_f, G, 0))
 
     # discrete grid indices: [n_f, G, ad] (+ observed slots from disc_const)
@@ -156,13 +160,17 @@ def _bucket_expected_logpot(
         xdv = b.slot_values(xdi)
         # per-component weight of each grid point: Π over latent disc slots
         # of b_k(var)[val]; invalid values carry zero belief mass.
-        bprob = bd[:, b.disc_idx]  # [K, n_f, ad, Vmax]
-        sel = select_last(
-            bprob[:, :, None, :, :], xdi[None]
-        )  # [K, n_f, G, ad]
-        w_disc = jnp.prod(
-            jnp.where(b.disc_mask[None, :, None, :] > 0, sel, 1.0), axis=-1
-        )  # [K, n_f, G]
+        if bd.shape[1]:
+            bprob = bd[:, b.disc_idx]  # [K, n_f, ad, Vmax]
+            sel = select_last(
+                bprob[:, :, None, :, :], xdi[None]
+            )  # [K, n_f, G, ad]
+            w_disc = jnp.prod(
+                jnp.where(b.disc_mask[None, :, None, :] > 0, sel, 1.0),
+                axis=-1,
+            )  # [K, n_f, G]
+        else:  # every disc slot observed (no latent disc vars to gather)
+            w_disc = jnp.ones((K, n_f, G))
     else:
         xdi = jnp.zeros((n_f, G, 0), jnp.int32)
         xdv = jnp.zeros((n_f, G, 0))
