@@ -60,6 +60,49 @@ def test_lbp_exact_on_random_discrete_trees(seed):
         np.testing.assert_allclose(got[: len(want)], want, atol=1e-3)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_epbp_on_random_hybrid_trees(seed):
+    """EPBP (stochastic approximation) on small random hybrid trees:
+    tolerances sized to its P=192 single-particle-set MC error."""
+    from lhvi_tpu.engines.epbp import EPBP, EPBPConfig
+
+    rng = np.random.default_rng(5000 + seed)
+    # the dense oracle enumerates a grid^n_cont product: keep n small
+    n = int(rng.integers(2, 4))
+    dom_c = Domain([-8, 8], continuous=True)
+    rvs = [RV(dom_c, name=f"x{i}") for i in range(n)]
+    d = RV(Domain([0, 1]), name="d")
+    factors = [
+        F(GaussianPotential([float(rng.normal())], [[2.0]]), [rv])
+        for rv in rvs
+    ]
+    t = rng.uniform(0.3, 1.0, size=2)
+    factors.append(F(TablePotential(list(t)), [d]))
+    for a, b in _rand_tree_edges(rng, n):
+        factors.append(
+            F(XYPotential(float(rng.uniform(-0.5, 0.5)), 1.5),
+              [rvs[a], rvs[b]])
+        )
+    from lhvi_tpu.potentials import MLNPotential
+
+    c0 = float(rng.uniform(-1.5, 1.5))
+    factors.append(
+        F(MLNPotential(lambda a: -((a[1] - c0 * a[0]) ** 2) / 4.0,
+                       w=1.0, formula_name="dx"), [d, rvs[0]])
+    )
+    g = Graph(rvs + [d], factors)
+    oracle = ExactPosterior(g, cont_grid=61 if n == 3 else 121)
+    eng = EPBP(compile_graph(g),
+               EPBPConfig(n_particles=192, n_iters=40)).run(
+        jax.random.PRNGKey(seed)
+    )
+    assert np.abs(
+        np.asarray(eng.disc_marginal(d))[:2] - oracle.disc_marginal(d)
+    ).max() < 0.1
+    for rv in rvs:
+        assert abs(eng.mean(rv) - oracle.mean(rv)) < 0.25, rv.name
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_gabp_exact_on_random_gaussian_trees(seed):
     rng = np.random.default_rng(4000 + seed)
