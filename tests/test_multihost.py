@@ -64,8 +64,22 @@ def _worker(pid: int, nproc: int = 2):
     assert np.isfinite(mean).all()
     # hybrid_chain closed-ish forms (loose MC tolerances at 32x300)
     assert abs(dp[0, 1] - 0.7) < 0.15, dp
+
+    # annealed SMC with the particle axis spanning both processes: the
+    # systematic-resampling gather crosses the process boundary (the
+    # north-star collective resampler) and log-Z comes back replicated
+    from lhvi_tpu.engines import smc
+
+    xc, xd, log_w, log_z, sdiag = smc.run_smc(
+        fg, jax.random.PRNGKey(1),
+        smc.SMCConfig(n_particles=2048, n_temps=25), shard=shard,
+    )
+    lz = float(jax.device_get(log_z))
+    assert np.isfinite(lz)
+    assert float(jax.device_get(jnp.min(sdiag["ess"]))) > 2048 * 0.1
     if pid == 0:
-        print("MULTIHOST_HMC_OK", mean.round(3), dp[0].round(3))
+        print("MULTIHOST_HMC_OK", mean.round(3), dp[0].round(3),
+              "SMC_LOGZ", round(lz, 3))
 
 
 @pytest.mark.skipif(
