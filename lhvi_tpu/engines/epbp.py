@@ -340,14 +340,15 @@ class EPBP:
     def disc_marginal(self, rv):
         kind, row, i = self._row(rv, "d")
         w = self._weights(row, kind)
-        return w[: rv.domain.size]
+        return w[: self.fg.meta.disc_size(rv)]
 
     def map(self, rv):
         kind, row, _ = self._row(rv)
         w = self._weights(row, kind)
         if kind == "c":
             return float(self.sup[row][int(np.argmax(w))])
-        return rv.domain.values[int(np.argmax(w[: rv.domain.size]))]
+        return self.fg.meta.disc_values(rv)[
+            int(np.argmax(w[: self.fg.meta.disc_size(rv)]))]
 
     # --- arbitrary-x density queries (reference ``belief(x, rv)`` /
     #     ``probability(x, rv)`` parity — SURVEY.md §4.4; mount empty) -----
@@ -384,7 +385,8 @@ class EPBP:
         if kind == "d":
             pmf = self.disc_marginal(rv)
             xs = np.atleast_1d(x)
-            out = np.array([pmf[rv.domain.value_index(v)] for v in xs])
+            out = np.array(
+                [pmf[self.fg.meta.value_index(rv, v)] for v in xs])
             return float(out[0]) if np.ndim(x) == 0 else out
         xs = np.atleast_1d(np.asarray(x, np.float64))
         vals, logZ, _ = self._query_logb(xs, row)

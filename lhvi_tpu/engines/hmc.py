@@ -521,7 +521,7 @@ class HMCResult:
         import numpy as np
 
         i = self._loc(rv, "d")
-        size = rv.domain.size
+        size = self.fg.meta.disc_size(rv)
         counts = np.bincount(self.xd[:, i], minlength=size)[:size]
         return counts / counts.sum()
 
@@ -530,7 +530,7 @@ class HMCResult:
         if kind == "c":
             return float(self.xc[:, self._loc(rv, "c")].mean())
         probs = self.disc_marginal(rv)
-        return rv.domain.values[int(probs.argmax())]
+        return self.fg.meta.disc_values(rv)[int(probs.argmax())]
 
 
 class HMCMoments:
@@ -559,14 +559,14 @@ class HMCMoments:
 
     def disc_marginal(self, rv):
         i = self._loc(rv, "d")
-        return self.moments["disc_probs"][i, : rv.domain.size]
+        return self.moments["disc_probs"][i, : self.fg.meta.disc_size(rv)]
 
     def map(self, rv):
         kind, _ = self.fg.meta.loc(rv)
         if kind == "c":
             return self.mean(rv)
         p = self.disc_marginal(rv)
-        return rv.domain.values[int(p.argmax())]
+        return self.fg.meta.disc_values(rv)[int(p.argmax())]
 
 
 def sample(fg: CompiledFG, key, **kw):

@@ -279,7 +279,7 @@ class HybridLBP:
         p, vals, kind, i = self._belief_row(rv)
         if kind != "d":
             raise ValueError(f"{rv} is continuous")
-        return p[: rv.domain.size]
+        return p[: self.fg.meta.disc_size(rv)]
 
     def mean(self, rv) -> float:
         p, vals, kind, _ = self._belief_row(rv)
@@ -293,7 +293,9 @@ class HybridLBP:
     def map(self, rv):
         p, vals, kind, _ = self._belief_row(rv)
         return float(vals[int(np.argmax(p))]) if kind == "c" else (
-            rv.domain.values[int(np.argmax(p[: rv.domain.size]))]
+            self.fg.meta.disc_values(rv)[
+                int(np.argmax(p[: self.fg.meta.disc_size(rv)]))
+            ]
         )
 
     # --- arbitrary-x density queries (reference ``belief(x, rv)`` /
@@ -345,7 +347,8 @@ class HybridLBP:
         if kind == "d":
             pmf = self.disc_marginal(rv)
             xs = np.atleast_1d(x)
-            out = np.array([pmf[rv.domain.value_index(v)] for v in xs])
+            out = np.array(
+                [pmf[self.fg.meta.value_index(rv, v)] for v in xs])
             return float(out[0]) if np.ndim(x) == 0 else out
         row = i
         xs = np.atleast_1d(np.asarray(x, np.float64))

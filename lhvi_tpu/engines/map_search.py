@@ -124,7 +124,7 @@ class HybridMaxWalkSAT:
     def map(self, rv):
         kind, i = self.fg.meta.loc(rv)
         if kind == "obs":
-            return rv.value
+            return self.fg.meta.obs_value(rv)
         if kind == "c":
             return float(self.xc[i])
-        return rv.domain.values[int(self.xd[i])]
+        return self.fg.meta.disc_values(rv)[int(self.xd[i])]

@@ -311,7 +311,7 @@ class SMCResult:
 
     def disc_marginal(self, rv) -> np.ndarray:
         i = self._loc(rv, "d")
-        size = rv.domain.size
+        size = self.fg.meta.disc_size(rv)
         out = np.zeros(size)
         np.add.at(out, self.xd[:, i], self.w)
         return out
@@ -321,7 +321,7 @@ class SMCResult:
         if kind == "c":
             return self.mean(rv)
         p = self.disc_marginal(rv)
-        return rv.domain.values[int(p.argmax())]
+        return self.fg.meta.disc_values(rv)[int(p.argmax())]
 
 
 def sample(fg: CompiledFG, key, cfg: SMCConfig = SMCConfig(),

@@ -319,7 +319,7 @@ class VIResult:
 
     def disc_marginal(self, rv) -> np.ndarray:
         i = self._loc(rv, "d")
-        size = rv.domain.size
+        size = self.fg.meta.disc_size(rv)
         return np.einsum("k,kv->v", self.w, self.bd[:, i, :size])
 
     def belief(self, x, rv) -> float:
@@ -331,13 +331,13 @@ class VIResult:
             dens = np.exp(-0.5 * ((x - mu) / s) ** 2) / (s * np.sqrt(2 * np.pi))
             return float(np.sum(self.w * dens))
         probs = self.disc_marginal(rv)
-        return float(probs[rv.domain.value_index(x)])
+        return float(probs[self.fg.meta.value_index(rv, x)])
 
     def map(self, rv):
         kind, i = self.fg.meta.loc(rv)
         if kind == "d":
             probs = self.disc_marginal(rv)
-            return rv.domain.values[int(probs.argmax())]
+            return self.fg.meta.disc_values(rv)[int(probs.argmax())]
         # mixture MODE: argmax of the actual mixture density (a w_k/σ_k
         # component heuristic is silently wrong for overlapping
         # components) — dense grid over the mixture support + parabolic

@@ -62,6 +62,22 @@ class FGMeta:
         """('c'|'d'|'obs', flat index) of an RV in the compiled state."""
         return self.index[id(rv)]
 
+    # Engine result accessors resolve domain facts through these hooks
+    # (instead of touching rv.domain directly) so metas that address
+    # variables by KEY rather than by RV object — the direct relational
+    # compiler's FastMeta — work with every engine unchanged.
+    def disc_size(self, rv) -> int:
+        return rv.domain.size
+
+    def disc_values(self, rv):
+        return rv.domain.values
+
+    def value_index(self, rv, x) -> int:
+        return rv.domain.value_index(x)
+
+    def obs_value(self, rv):
+        return rv.value
+
     def __hash__(self):
         return id(self)
 
