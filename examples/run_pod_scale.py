@@ -15,6 +15,8 @@ hosts over DCN and the same code runs unchanged.
 
     python examples/run_pod_scale.py --cpu --n-people 120   # smoke test
     python examples/run_pod_scale.py --n-people 320         # one TPU chip
+    python examples/run_pod_scale.py --n-people 1000 --fast --n-chains 8
+                                      # 1,001,900 grounded latents
 """
 
 import time
@@ -29,6 +31,16 @@ def main():
     parser = make_parser(PodConfig(), __doc__)
     parser.add_argument("--distributed", action="store_true",
                         help="call jax.distributed.initialize() first")
+    parser.add_argument("--chunk", type=int, default=4,
+                        help="samples per device dispatch (this environment "
+                        "kills single executions over ~10s wall; at 1e6 "
+                        "latents use --chunk 1)")
+    parser.add_argument("--fast", action="store_true",
+                        help="ground via the vectorized relational→IR "
+                        "compiler (relational/fast.py) — no per-ground "
+                        "Python objects; skips the object-graph lifted-VI "
+                        "phase (color refinement needs the object graph). "
+                        "Required in practice beyond ~3e5 groundings.")
     args = parser.parse_args()
     cfg = from_args(PodConfig, args)
     jax = setup_platform(args.cpu)
@@ -49,41 +61,53 @@ def main():
     rg = friends_smokers(n_people=cfg.n_people, hybrid=True)
     for i in range(cfg.evidence_people):
         rg.observe("smokes", (f"p{i}",), i % 2)
-    g, index = rg.ground()
-    log.log("ground", n_rvs=len(g.rvs), n_factors=len(g.factors),
-            wall_s=round(time.perf_counter() - t0, 2))
 
-    # ---- 2. lifted VI -----------------------------------------------------
-    t0 = time.perf_counter()
-    rep = lifting_report(g)
-    fg_l = compile_lifted(g)
-    log.log("lift", **rep, wall_s=round(time.perf_counter() - t0, 2))
+    vi_params_host = None
+    if args.fast:
+        # vectorized relational→IR path: templates ground straight to
+        # array buckets; engines are queried by (pred, consts) keys
+        from lhvi_tpu.relational.fast import fast_compile
 
-    t0 = time.perf_counter()
-    res_vi = vi.infer(
-        fg_l, jax.random.PRNGKey(cfg.seed),
-        vi.VIConfig(K=cfg.vi_k, n_iters=cfg.vi_iters, lr=cfg.vi_lr),
-    )
-    log.log("lifted_vi", elbo=float(res_vi.trace[-1]),
-            wall_s=round(time.perf_counter() - t0, 2))
-    # p1 observes smokes=1 (evidence is i%2), so cancer(p1) ≈ σ(w) ≈ 0.77;
-    # p0 observes smokes=0, leaving cancer(p0) unconstrained at 0.5
-    for who in ("p1", "p0"):
-        rv = index[("cancer", (who,))]
-        log.log("query", rv=f"cancer({who})",
-                marginal=res_vi.disc_marginal(rv).round(4))
+        fg = fast_compile(rg)
+        log.log("fast_compile", wall_s=round(time.perf_counter() - t0, 2),
+                n_cont=fg.n_cont, n_disc=fg.n_disc)
+    else:
+        g, index = rg.ground()
+        log.log("ground", n_rvs=len(g.rvs), n_factors=len(g.factors),
+                wall_s=round(time.perf_counter() - t0, 2))
 
-    # ---- 3+4. grounded sharded HMC + scaling harness ----------------------
-    # drop the lifted-VI executables first: keeping many large programs
-    # loaded alongside the 1e5-var HMC program can crash this environment's
-    # TPU worker (observed kernel faults; each phase runs fine alone)
-    vi_params_host = res_vi.params  # already device_get'd by VIResult
-    del res_vi
-    jax.clear_caches()
-    t0 = time.perf_counter()
-    fg = compile_graph(g)
-    log.log("compile_grounded", wall_s=round(time.perf_counter() - t0, 2),
-            n_cont=fg.n_cont, n_disc=fg.n_disc)
+        # ---- 2. lifted VI -------------------------------------------------
+        t0 = time.perf_counter()
+        rep = lifting_report(g)
+        fg_l = compile_lifted(g)
+        log.log("lift", **rep, wall_s=round(time.perf_counter() - t0, 2))
+
+        t0 = time.perf_counter()
+        res_vi = vi.infer(
+            fg_l, jax.random.PRNGKey(cfg.seed),
+            vi.VIConfig(K=cfg.vi_k, n_iters=cfg.vi_iters, lr=cfg.vi_lr),
+        )
+        log.log("lifted_vi", elbo=float(res_vi.trace[-1]),
+                wall_s=round(time.perf_counter() - t0, 2))
+        # p1 observes smokes=1 (evidence is i%2), so cancer(p1) ≈ σ(w) ≈ 0.77;
+        # p0 observes smokes=0, leaving cancer(p0) unconstrained at 0.5
+        for who in ("p1", "p0"):
+            rv = index[("cancer", (who,))]
+            log.log("query", rv=f"cancer({who})",
+                    marginal=res_vi.disc_marginal(rv).round(4))
+
+        # ---- 3+4. grounded sharded HMC + scaling harness -------------------
+        # drop the lifted-VI executables first: keeping many large programs
+        # loaded alongside the 1e5-var HMC program can crash this
+        # environment's TPU worker (observed kernel faults; each phase runs
+        # fine alone)
+        vi_params_host = res_vi.params  # already device_get'd by VIResult
+        del res_vi
+        jax.clear_caches()
+        t0 = time.perf_counter()
+        fg = compile_graph(g)
+        log.log("compile_grounded", wall_s=round(time.perf_counter() - t0, 2),
+                n_cont=fg.n_cont, n_disc=fg.n_disc)
 
     # gibbs_max_colors=0 → the compile-time per-color plan: FULL exact
     # chromatic sweeps at O(Σ deg) kernel-row cost per sweep (the legacy
@@ -95,7 +119,7 @@ def main():
         # short dispatches: this environment kills single device executions
         # over ~10s wall (observed: 4-sample scans pass, 8-sample crash the
         # worker); chunk the run and loop from the host instead
-        chunk = 4
+        chunk = args.chunk
         kw = dict(n_chains=n_chains, n_warmup=0, n_samples=chunk,
                   collect="moments", shard=shard)
         try:
@@ -108,28 +132,37 @@ def main():
                 float(out[0]["mean"][0])
         except Exception as e:  # log and continue (infra flakes happen)
             log.log("throughput_error", config=tag, error=str(e)[:200])
-            return None
+            return None, None
         dt = time.perf_counter() - t0
         sps = n_chains * chunk * n_chunks / dt
         log.log("throughput", config=tag, chains=n_chains,
                 samples_per_s=round(sps, 1), wall_s=round(dt, 2))
-        return sps
+        return sps, out
 
     n_dev = len(jax.devices())
     shard_full = (
         chain_sharding(make_mesh(axis_names=("dp",))) if n_dev > 1 else None
     )
-    sps_full = measure(shard_full, cfg.n_chains, f"{n_dev}dev")
+    sps_full, out_full = measure(shard_full, cfg.n_chains, f"{n_dev}dev")
+    if args.fast and out_full is not None:
+        # posterior queries straight from the streamed moments; fast_compile
+        # grounds no RV objects, so queries are (pred, consts) keys
+        probs = np.asarray(out_full[0]["disc_probs"])
+        for who in ("p1", "p0"):
+            kind, i = fg.meta.loc(("cancer", (who,)))
+            log.log("query", rv=f"cancer({who})",
+                    marginal=probs[i, :2].round(4))
     if n_dev > 1 and sps_full:
         mesh1 = make_mesh(shape=(1,), axis_names=("dp",),
                           devices=jax.devices()[:1])
-        sps_1 = measure(chain_sharding(mesh1), cfg.n_chains // n_dev, "1dev")
+        sps_1, _ = measure(chain_sharding(mesh1), cfg.n_chains // n_dev,
+                           "1dev")
         if sps_1:
             eff = sps_full / (sps_1 * n_dev)
             log.log("scaling", devices=n_dev, efficiency=round(eff, 3))
 
     # ---- checkpoint demo --------------------------------------------------
-    if cfg.checkpoint_dir:
+    if cfg.checkpoint_dir and vi_params_host is not None:
         from lhvi_tpu.utils.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(cfg.checkpoint_dir)
