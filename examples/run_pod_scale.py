@@ -38,9 +38,9 @@ def main():
     parser.add_argument("--fast", action="store_true",
                         help="ground via the vectorized relational→IR "
                         "compiler (relational/fast.py) — no per-ground "
-                        "Python objects; skips the object-graph lifted-VI "
-                        "phase (color refinement needs the object graph). "
-                        "Required in practice beyond ~3e5 groundings.")
+                        "Python objects; lifted VI runs on the IR-level "
+                        "orbit refinement (lift/fast.py). Required in "
+                        "practice beyond ~3e5 groundings.")
     args = parser.parse_args()
     cfg = from_args(PodConfig, args)
     jax = setup_platform(args.cpu)
@@ -71,6 +71,32 @@ def main():
         fg = fast_compile(rg)
         log.log("fast_compile", wall_s=round(time.perf_counter() - t0, 2),
                 n_cont=fg.n_cont, n_disc=fg.n_disc)
+
+        # ---- 2. lifted VI on the IR-level orbits ---------------------------
+        from lhvi_tpu.lift.fast import fast_lift
+
+        t0 = time.perf_counter()
+        fg_l = fast_lift(fg)
+        log.log("fast_lift", n_rv_orbits=fg_l.n_cont + fg_l.n_disc,
+                n_factor_orbits=int(sum(
+                    (b["scale"] > 0).sum() for b in fg_l.meta.np_buckets)),
+                wall_s=round(time.perf_counter() - t0, 2))
+
+        t0 = time.perf_counter()
+        res_vi = vi.infer(
+            fg_l, jax.random.PRNGKey(cfg.seed),
+            vi.VIConfig(K=cfg.vi_k, n_iters=cfg.vi_iters, lr=cfg.vi_lr),
+        )
+        log.log("lifted_vi", elbo=float(res_vi.trace[-1]),
+                wall_s=round(time.perf_counter() - t0, 2))
+        # queries by (pred, consts) key resolve through the orbit map
+        for who in ("p1", "p0"):
+            log.log("query", rv=f"cancer({who})",
+                    marginal=res_vi.disc_marginal(
+                        ("cancer", (who,))).round(4))
+        vi_params_host = res_vi.params
+        del res_vi, fg_l
+        jax.clear_caches()
     else:
         g, index = rg.ground()
         log.log("ground", n_rvs=len(g.rvs), n_factors=len(g.factors),

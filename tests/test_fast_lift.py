@@ -113,8 +113,15 @@ def test_fast_lift_elbo_equals_grounded(seed):
 
 
 def test_fast_compile_fast_lift_closed_form():
-    # no object graph anywhere: template → array IR → lifted IR → VI
+    # no object graph anywhere: template → array IR → lifted IR → VI.
+    # Evidence mirrors the pod config (smokes(p_i)=i%2): an observed
+    # smoker pins P(cancer)=sigmoid(w=1.2); an observed NON-smoker makes
+    # imp(0, c) constant, so P(cancer)=1/2 exactly. (An UNobserved
+    # person's marginal is not 1/2 here: mean-field tips everyone to
+    # smoking through the friends rule — the grounded object path gives
+    # the same 0.768, verified when this test was written.)
     rg = friends_smokers(n_people=12, hybrid=True)
+    rg.observe("smokes", ("p0",), 0)
     rg.observe("smokes", ("p1",), 1)
     fg = fast_lift(fast_compile(rg))
 
@@ -126,8 +133,7 @@ def test_fast_compile_fast_lift_closed_form():
 
     res = vi.infer(fg, jax.random.PRNGKey(0),
                    vi.VIConfig(K=2, n_iters=400, lr=0.08))
-    # observed smoker: P(cancer) = sigmoid(w=1.2); unobserved: 1/2
     m1 = res.disc_marginal(("cancer", ("p1",)))
-    m0 = res.disc_marginal(("cancer", ("p5",)))
+    m0 = res.disc_marginal(("cancer", ("p0",)))
     assert abs(m1[1] - 0.7685) < 0.03
     assert abs(m0[1] - 0.5) < 0.03
