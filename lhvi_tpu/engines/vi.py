@@ -451,3 +451,65 @@ def infer_c2f(
         traces.append(np.asarray(trace))
         prev_fg = fg
     return VIResult(fg, params, np.concatenate(traces))
+
+
+def infer_c2f_fast(
+    fg: CompiledFG,
+    key,
+    cfg: VIConfig = VIConfig(),
+    schedule=(1, None, "ground"),
+) -> VIResult:
+    """Coarse-to-fine VI on a grounded :class:`CompiledFG` — no object
+    graph anywhere, so it composes with ``relational.fast.fast_compile``
+    and runs at million-latent scale.
+
+    ``schedule`` entries: int k ≥ 1 = k rounds of IR-level color
+    refinement (``lift.fast.refine_ir``; round 1 is the coarsest useful
+    partition: domain/evidence/row-param classes), ``None`` = fixpoint
+    (exact lifted partition), ``"ground"`` = the input graph itself.
+    Refinement is monotone in rounds, so each stage's orbits split the
+    previous stage's and params warm-start by orbit inheritance — the
+    same semantics as :func:`infer_c2f` on the object path.
+    """
+    from lhvi_tpu.lift.fast import fast_lift
+
+    import numpy as np
+
+    iters = max(cfg.n_iters // max(len(schedule), 1), 1)
+    stage_cfg = cfg.replace(n_iters=iters)
+    ident = (np.arange(fg.n_cont), np.arange(fg.n_disc))
+    params = None
+    prev_cols = None
+    traces = []
+    for si, stage in enumerate(schedule):
+        if stage == "ground":
+            fg_s, cols = fg, ident
+        else:
+            rounds = 10_000 if stage is None else max(int(stage), 1)
+            fg_s = fast_lift(fg, max_rounds=rounds)
+            cols = (fg_s.meta._c, fg_s.meta._d)
+        if params is None:
+            params = init_params(fg_s, jax.random.fold_in(key, si), stage_cfg)
+        else:
+            # ground→orbit maps give the transfer vectorized: stage-B slot
+            # cols_b[g] inherits stage-A slot cols_a[g] (consistent because
+            # refinement is monotone: every B orbit lies inside one A orbit)
+            K = params.mu.shape[0]
+            c_src = np.zeros(max(fg_s.n_cont, 1), np.int64)
+            c_src[cols[0]] = prev_cols[0]
+            d_src = np.zeros(max(fg_s.n_disc, 1), np.int64)
+            d_src[cols[1]] = prev_cols[1]
+            params = VIParams(
+                log_w=params.log_w,
+                mu=(params.mu[:, c_src[: fg_s.n_cont]]
+                    if fg_s.n_cont else jnp.zeros((K, 0))),
+                log_sigma=(params.log_sigma[:, c_src[: fg_s.n_cont]]
+                           if fg_s.n_cont else jnp.zeros((K, 0))),
+                logits=(params.logits[:, d_src[: fg_s.n_disc]]
+                        if fg_s.n_disc else jnp.zeros((K, 0, fg_s.max_v))),
+            )
+        params, trace = _fit_from(fg_s, params, stage_cfg)
+        traces.append(np.asarray(trace))
+        prev_cols = cols
+        last_fg = fg_s
+    return VIResult(last_fg, params, np.concatenate(traces))

@@ -124,11 +124,9 @@ def refine_ir(fg: CompiledFG, max_rounds: int = 10_000):
         d_lat = np_b["disc_mask"][real] > 0
         rows_data.append((real, h0, c_idx, c_lat, d_idx, d_lat))
 
-    n_vcol = len(np.unique(vcol))
-    n_fcol = -1
-    fcol_per_bucket: List[np.ndarray] = []
-    for _ in range(max_rounds):
-        # factor colors: order-sensitive fold of slot var colors ---------
+    def factor_colors(vcol):
+        """Dense factor colors of each real row, keyed on (static row
+        data, tuple of slot var colors) — order-sensitive."""
         hs = []
         for real, h0, c_idx, c_lat, d_idx, d_lat in rows_data:
             h = h0
@@ -145,8 +143,16 @@ def refine_ir(fg: CompiledFG, max_rounds: int = 10_000):
         sizes = [len(h) for h in hs]
         cat = np.concatenate(hs) if hs else np.zeros(0, _U)
         _, finv = np.unique(cat, return_inverse=True)
-        fcol_per_bucket = np.split(finv, np.cumsum(sizes)[:-1])
-        n_fcol_new = len(np.unique(finv)) if finv.size else 0
+        per_bucket = np.split(finv, np.cumsum(sizes)[:-1])
+        n = len(np.unique(finv)) if finv.size else 0
+        return per_bucket, n
+
+    n_vcol = len(np.unique(vcol))
+    n_fcol = -1
+    fcol_per_bucket: List[np.ndarray] = []
+    for _ in range(max_rounds):
+        # factor colors: order-sensitive fold of slot var colors ---------
+        fcol_per_bucket, n_fcol_new = factor_colors(vcol)
 
         # var colors: commutative multiset of (factor color, slot) -------
         acc = np.zeros(n_c + n_d, _U)
@@ -173,6 +179,16 @@ def refine_ir(fg: CompiledFG, max_rounds: int = 10_000):
         if n_vcol_new == n_vcol and n_fcol_new == n_fcol:
             break
         n_vcol, n_fcol = n_vcol_new, n_fcol_new
+    else:
+        # truncated refinement (C2F stage): the loop's factor colors were
+        # keyed on the PREVIOUS round's var colors. Re-key them on the
+        # final var coloring so that every row in a factor orbit has an
+        # identical (params, slot-orbit tuple) signature — that makes
+        # representative-row × count an EXACT aggregation of the ground
+        # tied-parameter ELBO for any truncation depth (without this, a
+        # merged orbit's representative can drop a coarser var orbit's
+        # factor terms entirely, leaving its entropy unbounded).
+        fcol_per_bucket, _ = factor_colors(vcol)
 
     def first_occurrence_ids(v):
         _, first, inv = np.unique(v, return_index=True, return_inverse=True)

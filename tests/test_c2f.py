@@ -56,3 +56,55 @@ def test_c2f_final_stage_is_grounded():
     # per-individual query works post-C2F
     p = res.disc_marginal(index[("smokes", ("p2",))])
     assert abs(p.sum() - 1.0) < 1e-5
+
+
+def test_c2f_fast_matches_exact_on_small_mln():
+    """infer_c2f_fast: same C2F semantics with no object graph anywhere
+    (fast_compile -> truncated refine_ir partitions -> ground)."""
+    from lhvi_tpu.relational.fast import fast_compile
+
+    rg = friends_smokers(n_people=3, hybrid=False,
+                         w_smokes_cancer=0.7, w_friends=0.4)
+    rg.observe("smokes", ("p0",), 1)
+    fg = fast_compile(rg)
+
+    # oracle on the object-path ground graph (same model)
+    rg2 = friends_smokers(n_people=3, hybrid=False,
+                          w_smokes_cancer=0.7, w_friends=0.4)
+    rg2.observe("smokes", ("p0",), 1)
+    g, index = rg2.ground()
+    exact = ExactPosterior(g)
+
+    res = vi.infer_c2f_fast(
+        fg, jax.random.PRNGKey(0),
+        vi.VIConfig(K=2, n_iters=2400, lr=5e-2),
+        schedule=(1, None, "ground"),
+    )
+    for key in [("cancer", ("p0",)), ("smokes", ("p1",))]:
+        err = np.abs(
+            res.disc_marginal(key) - exact.disc_marginal(index[key])
+        ).max()
+        assert err < 0.1, (key, res.disc_marginal(key))
+
+
+def test_c2f_fast_stages_refine_and_final_is_grounded():
+    from lhvi_tpu.lift.fast import fast_lift
+    from lhvi_tpu.relational.fast import fast_compile
+
+    rg = friends_smokers(n_people=6, hybrid=True)
+    rg.observe("smokes", ("p0",), 1)
+    fg = fast_compile(rg)
+    n1 = fast_lift(fg, max_rounds=1).n_disc
+    nf = fast_lift(fg).n_disc
+    assert n1 <= nf <= fg.n_disc
+    assert n1 < fg.n_disc
+
+    res = vi.infer_c2f_fast(
+        fg, jax.random.PRNGKey(1),
+        vi.VIConfig(K=2, n_iters=600),
+        schedule=(None, "ground"),
+    )
+    assert res.fg.n_disc == fg.n_disc  # final stage IS the input graph
+    assert np.isfinite(res.trace).all()
+    p = res.disc_marginal(("smokes", ("p2",)))
+    assert abs(p.sum() - 1.0) < 1e-5

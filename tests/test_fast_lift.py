@@ -75,12 +75,17 @@ def test_partition_matches_on_random_copied_graphs(seed):
     assert _partition(obj) == _partition(fast)
 
 
+@pytest.mark.parametrize("rounds", [1, None])
 @pytest.mark.parametrize("seed", range(6))
-def test_fast_lift_elbo_equals_grounded(seed):
+def test_fast_lift_elbo_equals_grounded(seed, rounds):
+    # rounds=1: TRUNCATED refinement (a C2F stage) — the identity must
+    # hold at any depth because factor orbits are re-keyed on the final
+    # var coloring (regression for the unbounded-entropy NaN: a merged
+    # representative used to drop a coarser orbit's factor terms)
     rng = np.random.default_rng(4200 + seed)
     g = _k_copies(_rand_graph(rng), int(rng.integers(2, 5)))
     fg_g = compile_graph(g)
-    fg_l = fast_lift(fg_g)
+    fg_l = fast_lift(fg_g, max_rounds=10_000 if rounds is None else rounds)
 
     if fg_g.n_cont + fg_g.n_disc == 0:
         pytest.skip("all observed")
