@@ -142,3 +142,24 @@ def test_fast_compile_fast_lift_closed_form():
     m0 = res.disc_marginal(("cancer", ("p0",)))
     assert abs(m1[1] - 0.7685) < 0.03
     assert abs(m0[1] - 0.5) < 0.03
+
+
+def test_lifted_lbp_on_fast_lift_matches_grounded():
+    # reference "lifted BP" parity on the IR path: HybridLBP consumes a
+    # fast_lift graph (cluster messages weighted by orbit counts) and
+    # agrees with grounded LBP on the same model
+    from lhvi_tpu.engines.lbp import HybridLBP
+
+    rg = friends_smokers(n_people=8, hybrid=False)
+    rg.observe("smokes", ("p0",), 1)
+    fg = fast_compile(rg)
+    fgl = fast_lift(fg)
+
+    e_l = HybridLBP(fgl)
+    e_l.run(30)
+    e_g = HybridLBP(fg)
+    e_g.run(30)
+    for key in [("cancer", ("p0",)), ("smokes", ("p3",))]:
+        np.testing.assert_allclose(
+            e_l.disc_marginal(key), e_g.disc_marginal(key), atol=5e-3
+        )
