@@ -42,6 +42,11 @@ class HMCConfig:
     # opt-in Pallas fused log-potential/leapfrog for non-quad targets
     # (ops/logpot.py; at parity with the XLA path at measured scales)
     fused_logpot: bool = struct.field(pytree_node=False, default=False)
+    # unroll factor for the per-color planned-Gibbs scan: sweeps over
+    # many small color classes (e.g. 288 at pod scale) are loop-latency
+    # bound, not FLOP bound — unrolling trades program size for fewer
+    # sequential while-loop iterations
+    gibbs_unroll: int = struct.field(pytree_node=False, default=1)
 
 
 class HMCState(NamedTuple):
@@ -153,7 +158,7 @@ def _color_class_logits(fg: CompiledFG, grp, tabs, xc, xd):
 
 
 def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
-                        xd: Array, beta=1.0) -> Array:
+                        xd: Array, beta=1.0, unroll: int = 1) -> Array:
     """One FULL exact chromatic sweep via the compile-time color plan.
 
     Each scan step evaluates only the factor rows adjacent to that color's
@@ -189,7 +194,8 @@ def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
             "sizes": grp.sizes,
             "tabs": grp.bucket_tabs,
         }
-        xd, _ = jax.lax.scan(step, xd, xs)
+        xd, _ = jax.lax.scan(step, xd, xs,
+                             unroll=min(unroll, grp.n_colors))
     return xd
 
 
@@ -286,7 +292,8 @@ def sweep_all(fg: CompiledFG, cfg: HMCConfig, key, xc, xd):
         key = keys[0]
         if planned:
             xd = jax.vmap(
-                lambda k, a, b: gibbs_sweep_planned(fg, k, a, b)
+                lambda k, a, b: gibbs_sweep_planned(
+                    fg, k, a, b, unroll=cfg.gibbs_unroll)
             )(keys[1:], xc, xd)
         else:
             xd = jax.vmap(

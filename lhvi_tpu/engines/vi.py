@@ -432,12 +432,18 @@ def infer_c2f(
 
     import numpy as np
 
-    iters = max(cfg.n_iters // max(len(schedule), 1), 1)
-    stage_cfg = cfg.replace(n_iters=iters)
+    if not schedule:
+        raise ValueError("infer_c2f: schedule must be non-empty")
+    iters = max(cfg.n_iters // len(schedule), 1)
+    rem = cfg.n_iters % len(schedule)
     params = None
     prev_fg = None
     traces = []
     for si, stage in enumerate(schedule):
+        # the final stage absorbs the integer-division remainder so the
+        # total step count equals cfg.n_iters
+        stage_cfg = cfg.replace(
+            n_iters=iters + (rem if si == len(schedule) - 1 else 0))
         if stage == "ground":
             fg = compile_graph(g, pad_to=pad_to)
         else:
@@ -475,13 +481,17 @@ def infer_c2f_fast(
 
     import numpy as np
 
-    iters = max(cfg.n_iters // max(len(schedule), 1), 1)
-    stage_cfg = cfg.replace(n_iters=iters)
+    if not schedule:
+        raise ValueError("infer_c2f_fast: schedule must be non-empty")
+    iters = max(cfg.n_iters // len(schedule), 1)
+    rem = cfg.n_iters % len(schedule)
     ident = (np.arange(fg.n_cont), np.arange(fg.n_disc))
     params = None
     prev_cols = None
     traces = []
     for si, stage in enumerate(schedule):
+        stage_cfg = cfg.replace(
+            n_iters=iters + (rem if si == len(schedule) - 1 else 0))
         if stage == "ground":
             fg_s, cols = fg, ident
         else:
@@ -499,6 +509,17 @@ def infer_c2f_fast(
             c_src[cols[0]] = prev_cols[0]
             d_src = np.zeros(max(fg_s.n_disc, 1), np.int64)
             d_src[cols[1]] = prev_cols[1]
+            # the inheritance scatter is only well-defined when the
+            # schedule is genuinely coarse-to-fine (every current orbit
+            # lies inside exactly one previous-stage orbit); verify the
+            # scatter round-trips instead of silently picking a writer
+            if (np.any(c_src[cols[0]] != prev_cols[0])
+                    or np.any(d_src[cols[1]] != prev_cols[1])):
+                raise ValueError(
+                    "infer_c2f_fast: schedule is not coarse-to-fine — "
+                    f"stage {si} ({stage!r}) orbits do not refine stage "
+                    f"{si - 1}'s; order schedule entries from fewer to "
+                    "more refinement rounds")
             params = VIParams(
                 log_w=params.log_w,
                 mu=(params.mu[:, c_src[: fg_s.n_cont]]

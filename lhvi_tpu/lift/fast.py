@@ -113,6 +113,10 @@ def refine_ir(fg: CompiledFG, max_rounds: int = 10_000):
     for bi, (b, np_b) in enumerate(zip(fg.buckets, np_bs)):
         real = np.nonzero(np_b["scale"] > 0)[0]
         h0 = _fold(np.full(len(real), 17, _U), hash(b.kind) & (2**63 - 1))
+        # fold the row scale too: rows with different pre-existing scales
+        # (compile_graph(scales=...)) must never share a factor orbit, or
+        # `counts * scale[rep]` would misweight the orbit
+        h0 = _fold_bytes(h0, np_b["scale"][real].astype(np.float32))
         for k in sorted(np_b["params"]):
             h0 = _fold_bytes(h0, np_b["params"][k][real])
         for k in ("cont_const", "disc_const", "disc_vals", "disc_size",

@@ -108,3 +108,39 @@ def test_c2f_fast_stages_refine_and_final_is_grounded():
     assert np.isfinite(res.trace).all()
     p = res.disc_marginal(("smokes", ("p2",)))
     assert abs(p.sum() - 1.0) < 1e-5
+
+def test_c2f_schedule_validation():
+    """Empty schedules raise; non-coarse-to-fine fast schedules raise
+    instead of silently picking an arbitrary warm-start writer."""
+    import pytest
+    from lhvi_tpu.relational.fast import fast_compile
+
+    rg = friends_smokers(n_people=4, hybrid=False)
+    rg.observe("smokes", ("p0",), 1)
+    g, _ = rg.ground()
+    fg = fast_compile(rg)
+    cfg = vi.VIConfig(K=2, n_iters=20)
+
+    with pytest.raises(ValueError):
+        vi.infer_c2f(g, jax.random.PRNGKey(0), cfg, schedule=())
+    with pytest.raises(ValueError):
+        vi.infer_c2f_fast(fg, jax.random.PRNGKey(0), cfg, schedule=())
+    # fine -> coarse is not a refinement: must raise, not mis-transfer
+    with pytest.raises(ValueError):
+        vi.infer_c2f_fast(fg, jax.random.PRNGKey(0), cfg,
+                          schedule=("ground", 1))
+
+
+def test_c2f_iters_total_matches_config():
+    """The final stage absorbs the integer-division remainder so the
+    trace length equals cfg.n_iters exactly."""
+    from lhvi_tpu.relational.fast import fast_compile
+
+    rg = friends_smokers(n_people=3, hybrid=False)
+    fg = fast_compile(rg)
+    res = vi.infer_c2f_fast(
+        fg, jax.random.PRNGKey(0),
+        vi.VIConfig(K=2, n_iters=100),
+        schedule=(1, None, "ground"),  # 100 = 33 + 33 + 34
+    )
+    assert len(res.trace) == 100

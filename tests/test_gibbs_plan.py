@@ -169,3 +169,22 @@ def test_clique_sweep_matches_exact_marginals():
         p1 = hist[..., i].mean()
         want = exact.disc_marginal(rv)[1]
         assert abs(p1 - want) < 0.025, (i, p1, want)
+
+def test_planned_sweep_unroll_identical():
+    """gibbs_unroll changes scheduling only: same keys -> bitwise-equal
+    sweep output for any unroll factor (incl. non-divisors of n_colors)."""
+    g, _ = _clique_model(n=7, seed=5)
+    fg = compile_graph(g)
+    assert fg.color_plan is not None
+    xc, xd = fg.init_state_batched(jax.random.PRNGKey(0), 4)
+    k = jax.random.PRNGKey(42)
+    base = jax.jit(
+        lambda: jax.vmap(lambda xdi: hmc.gibbs_sweep_planned(
+            fg, k, xc[0], xdi, unroll=1))(xd)
+    )()
+    for unroll in (2, 3, 16):
+        out = jax.jit(
+            lambda u=unroll: jax.vmap(lambda xdi: hmc.gibbs_sweep_planned(
+                fg, k, xc[0], xdi, unroll=u))(xd)
+        )()
+        assert (np.asarray(out) == np.asarray(base)).all(), unroll
