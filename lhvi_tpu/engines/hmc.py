@@ -109,10 +109,29 @@ def gibbs_sweep(fg: CompiledFG, key: Array, xc: Array, xd: Array,
     return xd
 
 
-def _color_class_logits(fg: CompiledFG, grp, tabs, xc, xd):
+def state_values(fg: CompiledFG, xd: Array) -> Array:
+    """Map a discrete index state [n_disc] to domain VALUES [n_disc]
+    (one-hot multiply-add over the per-var value table; V is tiny)."""
+    if fg.n_disc == 0:
+        return jnp.zeros((0,))
+    out = jnp.zeros(xd.shape)
+    for v in range(fg.max_v):
+        out = out + jnp.where(xd == v, fg.disc_vals[..., v], 0.0)
+    return out
+
+
+def _color_class_logits(fg: CompiledFG, grp, tabs, xc, xd, xv):
     """Full-conditional logits ``[M, V]`` for one color class of a
     ``GibbsColorPlan`` group; ``tabs`` are the group's tables sliced at
-    one color (leading [nc] axis removed)."""
+    one color (leading [nc] axis removed); ``xv`` is the maintained
+    value state ``state_values(fg, xd)``.
+
+    Value lookups are all in value space via compile-time tables
+    (``disc_cval``/``sub_vals``) + the maintained value state: a runtime
+    ``take_along_axis`` over the [R, ad, K] value tables materializes a
+    128-lane-padded copy of the candidate index tensor (measured: ~5 GB
+    and ~6 ms PER color step at pod scale, and an OOM at 256 chains).
+    """
     V = fg.max_v
     M = grp.n_vars
     logits = jnp.zeros((M, V))
@@ -126,26 +145,22 @@ def _color_class_logits(fg: CompiledFG, grp, tabs, xc, xd):
             xc[t["cont_idx"]] if xc.shape[0] else jnp.zeros_like(t["cont_const"]),
             t["cont_const"],
         )  # [R, ac]
-        xdi = jnp.where(
-            t["disc_mask"] > 0,
-            xd[t["disc_idx"]] if xd.shape[0] else jnp.zeros_like(t["disc_const"]),
-            t["disc_const"],
-        )  # [R, ad]
+        lat = t["disc_mask"] > 0
+        if xd.shape[0]:
+            xdi = jnp.where(lat, xd[t["disc_idx"]], t["disc_const"])
+            xdv = jnp.where(lat, xv[t["disc_idx"]], t["disc_cval"])
+        else:
+            xdi = t["disc_const"]
+            xdv = t["disc_cval"]
+        sub = t["sub"][:, None, :]
         xdi_p = jnp.where(
-            t["sub"][:, None, :],
-            cand[None, :, None],
+            sub, cand[None, :, None],
             jnp.broadcast_to(xdi[:, None, :], (R, V, ad)),
         )  # [R, V, ad] — all slots of the target var move jointly
-        # NOTE: keep take_along_axis here — the unrolled compare-select
-        # (ops.select.select_last) reproducibly FAULTS the TPU worker when
-        # fused into the pod-scale color-plan scan (XLA:TPU codegen bug,
-        # bisected 2026-08-17: same program runs with take_along_axis,
-        # crashes with select_last; shapes here are small so the gather
-        # lowering is not the bottleneck it is in the [C, n_f] paths).
-        vals = jnp.broadcast_to(
-            t["disc_vals"][:, None], (R, V, ad, t["disc_vals"].shape[-1])
+        xdv_p = jnp.where(
+            sub, t["sub_vals"][:, :, None],
+            jnp.broadcast_to(xdv[:, None, :], (R, V, ad)),
         )
-        xdv_p = jnp.take_along_axis(vals, xdi_p[..., None], axis=-1)[..., 0]
         lp = b.kernel(
             expand_params(t["params"], 1), xcs[:, None, :], xdi_p, xdv_p
         )  # [R, V]
@@ -171,12 +186,14 @@ def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
     if fg.n_disc == 0:
         return xd
     V = fg.max_v
+    xv = state_values(fg, xd)  # maintained value state, updated in-step
     for gi, grp in enumerate(fg.color_plan.groups):
         gkey = jax.random.fold_in(key, gi)
         keys = jax.random.split(gkey, grp.n_colors)
 
-        def step(xd, s, grp=grp):
-            logits = _color_class_logits(fg, grp, s["tabs"], xc, xd)
+        def step(carry, s, grp=grp):
+            xd, xv = carry
+            logits = _color_class_logits(fg, grp, s["tabs"], xc, xd, xv)
             valid = (
                 jnp.arange(V, dtype=jnp.int32)[None, :] < s["sizes"][:, None]
             )
@@ -184,18 +201,25 @@ def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
             new = jax.random.categorical(s["key"], logits, axis=-1).astype(
                 jnp.int32
             )
+            # the sampled indices' domain values, via the class value table
+            # (one-hot multiply-add — V is tiny and static)
+            nv = jnp.zeros(new.shape)
+            for v in range(V):
+                nv = nv + jnp.where(new == v, s["vals"][:, v], 0.0)
             # padded var slots carry id n_disc -> dropped by the scatter
             xd = xd.at[s["vars"]].set(new, mode="drop")
-            return xd, None
+            xv = xv.at[s["vars"]].set(nv, mode="drop")
+            return (xd, xv), None
 
         xs = {
             "key": keys,
             "vars": grp.vars_,
             "sizes": grp.sizes,
+            "vals": grp.vals_,
             "tabs": grp.bucket_tabs,
         }
-        xd, _ = jax.lax.scan(step, xd, xs,
-                             unroll=min(unroll, grp.n_colors))
+        (xd, xv), _ = jax.lax.scan(step, (xd, xv), xs,
+                                   unroll=min(unroll, grp.n_colors))
     return xd
 
 
@@ -205,6 +229,7 @@ def planned_logits(fg: CompiledFG, xc: Array, xd: Array) -> Array:
     hook used by tests to prove the plan matches ``CompiledFG.disc_logits``."""
     V = fg.max_v
     out = jnp.zeros((fg.n_disc + 1, V))
+    xv = state_values(fg, xd)
     for grp in fg.color_plan.groups:
         for j in range(grp.n_colors):
             tabs = tuple(
@@ -213,7 +238,7 @@ def planned_logits(fg: CompiledFG, xc: Array, xd: Array) -> Array:
                 )
                 for t in grp.bucket_tabs
             )
-            lg = _color_class_logits(fg, grp, tabs, xc, xd)
+            lg = _color_class_logits(fg, grp, tabs, xc, xd, xv)
             out = out.at[grp.vars_[j]].set(lg, mode="drop")
     out = out[: fg.n_disc]
     valid = (

@@ -230,16 +230,21 @@ class GibbsColorGroup:
     ``bucket_tabs[i]`` is ``None`` when bucket ``i`` has no rows in this
     group; otherwise a dict of arrays with leading dims ``[nc, R]``:
     pre-gathered bucket slot tables plus ``sub`` (slots referencing the
-    target variable — substituted jointly by the candidate value), ``w``
-    (factor scale; 0 = padding), ``vidx`` ([nc, M, D] per-var gather into
-    the color's row block; index R = zero row), and ``params``
-    (pre-gathered per-factor kernel params).
+    target variable — substituted jointly by the candidate value),
+    ``disc_cval`` (domain values of observed slots' baked indices),
+    ``sub_vals`` ([nc, R, Vmax] candidate domain values of the target
+    variable — value lookups stay in value space at runtime; see
+    ``hmc._color_class_logits``), ``w`` (factor scale; 0 = padding),
+    ``vidx`` ([nc, M, D] per-var gather into the color's row block;
+    index R = zero row), and ``params`` (pre-gathered per-factor kernel
+    params).
     """
 
     n_colors: int = struct.field(pytree_node=False)
     n_vars: int = struct.field(pytree_node=False)  # M = padded class size
     vars_: Array  # i32 [nc, M] global discrete var ids (pad = n_disc)
     sizes: Array  # i32 [nc, M] domain sizes (pad = 1)
+    vals_: Array  # f32 [nc, M, Vmax] index->domain value per class var
     bucket_tabs: Tuple  # per bucket: None | dict of [nc, R, …] arrays
 
 
@@ -702,7 +707,8 @@ def compile_graph(
 
     gibbs = _build_gibbs_gather(meta.np_buckets, n_disc)
     color_plan = (
-        _build_color_plan(meta.np_buckets, n_disc, color_of, disc_sizes)
+        _build_color_plan(meta.np_buckets, n_disc, color_of, disc_sizes,
+                          disc_vals)
         if gibbs_plan
         else None
     )
@@ -855,6 +861,7 @@ def build_edge_gather(np_buckets: List[Dict[str, np.ndarray]],
 
 def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                       color_of: np.ndarray, disc_sizes: np.ndarray,
+                      disc_vals: np.ndarray = None,
                       row_cap: int = 50_000_000):
     """Compile the per-color Gibbs tables (see ``GibbsColorGroup``).
 
@@ -974,6 +981,11 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
         return None
 
     max_v = int(disc_sizes.max()) if len(disc_sizes) else 1
+    if disc_vals is None:
+        # fall back to index==value (true for 0..V-1 integer domains)
+        disc_vals = np.broadcast_to(
+            np.arange(max_v, dtype=np.float32), (n_disc, max_v)
+        )
     groups = []
     for _, colors in sorted(group_ids.items()):
         nc = len(colors)
@@ -981,10 +993,12 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
         M = max(M, 1)
         vars_g = np.full((nc, M), n_disc, np.int64)
         sizes_g = np.ones((nc, M), np.int64)
+        vals_g = np.zeros((nc, M, max_v), np.float32)
         for j, c in enumerate(colors):
             members = order[starts[c] : starts[c] + counts[c]]
             vars_g[j, : len(members)] = members
             sizes_g[j, : len(members)] = disc_sizes[members]
+            vals_g[j, : len(members)] = disc_vals[members, :max_v]
 
         tabs = []
         for np_b, e in zip(np_buckets, b_sorted):
@@ -1017,6 +1031,30 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                 occ = np.arange(k) - np.repeat(first, cnts_v)
                 vidx[j, tl, occ] = np.arange(k)
             fr = edge_r[eid]  # [nc, R] factor rows
+            # value-space tables: the runtime sweep never gathers the
+            # per-row [R, ad, K] value tables over a tiny minor axis (a
+            # take_along_axis there materializes a 128-lane-padded copy —
+            # gigabytes per color step at pod scale). Instead:
+            #   disc_cval [nc, R, ad]: domain VALUE of each observed
+            #     slot's baked index (latent slots read the maintained
+            #     value state at runtime);
+            #   sub_vals  [nc, R, Vmax]: candidate domain values of the
+            #     row's target variable (all substituted slots share it).
+            vals_rows = np_b["disc_vals"][fr]  # [nc, R, ad, Kb]
+            cval = np.take_along_axis(
+                vals_rows, np_b["disc_const"][fr][..., None].astype(
+                    np.int64), axis=-1
+            )[..., 0].astype(np.float32)
+            sub_eid = sub[eid]  # [nc, R, ad]
+            s0 = sub_eid.argmax(axis=-1)  # first substituted slot
+            sv = np.take_along_axis(
+                vals_rows, s0[..., None, None], axis=2
+            )[:, :, 0, :]  # [nc, R, Kb]
+            Kb = sv.shape[-1]
+            if Kb < max_v:
+                sv = np.concatenate(
+                    [sv, np.zeros(sv.shape[:-1] + (max_v - Kb,),
+                                  sv.dtype)], axis=-1)
             tabs.append(
                 {
                     "cont_idx": jnp.asarray(
@@ -1031,7 +1069,9 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                     "disc_const": jnp.asarray(
                         np_b["disc_const"][fr].astype(np.int32)
                     ),
-                    "disc_vals": jnp.asarray(np_b["disc_vals"][fr]),
+                    "disc_cval": jnp.asarray(cval),
+                    "sub_vals": jnp.asarray(
+                        sv[..., :max_v].astype(np.float32)),
                     "params": {
                         k: jnp.asarray(v[fr])
                         for k, v in np_b["params"].items()
@@ -1049,6 +1089,7 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                 n_vars=M,
                 vars_=jnp.asarray(vars_g.astype(np.int32)),
                 sizes=jnp.asarray(sizes_g.astype(np.int32)),
+                vals_=jnp.asarray(vals_g),
                 bucket_tabs=tuple(tabs),
             )
         )

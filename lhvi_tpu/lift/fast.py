@@ -361,7 +361,8 @@ def fast_lift(fg: CompiledFG, pad_to: int = 8, max_rounds: int = 10_000,
     n_colors = int(color_of.max() + 1) if n_disc else 1
     gibbs = _build_gibbs_gather(meta.np_buckets, n_disc)
     color_plan = (
-        _build_color_plan(meta.np_buckets, n_disc, color_of, disc_sizes)
+        _build_color_plan(meta.np_buckets, n_disc, color_of, disc_sizes,
+                          disc_vals)
         if gibbs_plan
         else None
     )

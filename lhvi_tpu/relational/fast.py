@@ -331,7 +331,8 @@ def fast_compile(rg: RelationalGraph, pad_to: int = 8,
     meta.disc_counts = np.ones(n_disc, np.float32)
     gibbs = _build_gibbs_gather(meta.np_buckets, n_disc)
     color_plan = (
-        _build_color_plan(meta.np_buckets, n_disc, color_of, disc_sizes)
+        _build_color_plan(meta.np_buckets, n_disc, color_of, disc_sizes,
+                          disc_vals)
         if gibbs_plan
         else None
     )
