@@ -14,6 +14,12 @@ Extra fields (same JSON line, full BASELINE metric set):
   hmc_nonquad_robot_samples_per_s
                           NON-quadratic HMC-within-Gibbs iterations/s on
                           the robot-mapping HMLN (16384 chains)
+  pod_gibbs_chain_samples_per_s
+                          pod-scale flagship (BASELINE config 5):
+                          chain-samples/s on the 103k-latent hybrid MLN,
+                          each sample = one FULL exact chromatic sweep
+                          over 102,688 discrete latents + one HMC step
+                          (64 chains)
 
 ``vs_baseline``: the reference is a single-machine pure-Python/numpy
 codebase with no published numbers (BASELINE.md), so the baseline is a
@@ -234,6 +240,38 @@ def hmc_robot_throughput(n_segments=100, n_chains=16384):
     return n_chains * n_samples / dt
 
 
+def pod_gibbs_throughput(n_people=320, n_chains=64):
+    """Pod-scale flagship (BASELINE config 5): full exact chromatic
+    Gibbs sweep over ~1e5 discrete latents + HMC step, chain-samples/s
+    through the public run_hmc path (vectorized relational->IR
+    grounding, value-space per-color sweep plan)."""
+    import jax
+    from lhvi_tpu.engines import hmc
+    from lhvi_tpu.models.relational import friends_smokers
+    from lhvi_tpu.relational.fast import fast_compile
+
+    rg = friends_smokers(n_people=n_people, hybrid=True)
+    for i in range(n_people // 10):
+        rg.observe("smokes", (f"p{i}",), i % 2)
+    fg = fast_compile(rg)
+    cfg = hmc.HMCConfig(n_leapfrog=6, init_step_size=0.1)
+    # chunk=1: the 4-step sample scan at this scale reproducibly crashes
+    # this environment's TPU worker (compile-side); the 1-step program is
+    # stable and the per-dispatch overhead is <1% at ~80 ms/sample
+    chunk = 1
+
+    def run(rep):
+        moments, _, _ = hmc.run_hmc(
+            fg, jax.random.PRNGKey(rep), cfg,
+            n_chains=n_chains, n_warmup=0, n_samples=chunk,
+            collect="moments",
+        )
+        return moments
+
+    dt = _timed(run, lambda out: float(out["mean"][0]))
+    return n_chains * chunk / dt
+
+
 def main():
     import jax
 
@@ -254,6 +292,7 @@ def main():
         ("vi_steps_per_s", lambda: vi_throughput(g)),
         ("vi_lifted_steps_per_s", vi_lifted_throughput),
         ("hmc_nonquad_robot_samples_per_s", hmc_robot_throughput),
+        ("pod_gibbs_chain_samples_per_s", pod_gibbs_throughput),
     ):
         try:
             out[name] = round(fn(), 1)

@@ -33,8 +33,10 @@ def main():
                         help="call jax.distributed.initialize() first")
     parser.add_argument("--chunk", type=int, default=4,
                         help="samples per device dispatch (this environment "
-                        "kills single executions over ~10s wall; at 1e6 "
-                        "latents use --chunk 1)")
+                        "kills single executions over ~10s wall — at "
+                        "~80 ms/sample for the 320-person config the "
+                        "default is conservative; at 1e6 latents use "
+                        "--chunk 1)")
     parser.add_argument("--fast", action="store_true",
                         help="ground via the vectorized relational→IR "
                         "compiler (relational/fast.py) — no per-ground "

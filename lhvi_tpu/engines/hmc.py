@@ -47,6 +47,9 @@ class HMCConfig:
     # bound, not FLOP bound — unrolling trades program size for fewer
     # sequential while-loop iterations
     gibbs_unroll: int = struct.field(pytree_node=False, default=1)
+    # chain-axis NamedSharding, stamped by run_hmc(shard=...); routes the
+    # Pallas quad leapfrog through shard_map (one kernel per device)
+    shard: object = struct.field(pytree_node=False, default=None)
 
 
 class HMCState(NamedTuple):
@@ -290,7 +293,8 @@ def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
     std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
     p0 = std[None, :] * jax.random.normal(k_mom, xc.shape)
     x1, p1 = quad_leapfrog(
-        xc, p0, fg.quad_J, fg.quad_h, inv_mass, eps, cfg.n_leapfrog
+        xc, p0, fg.quad_J, fg.quad_h, inv_mass, eps, cfg.n_leapfrog,
+        shard=cfg.shard,
     )
     ke = lambda p: 0.5 * jnp.sum(inv_mass[None, :] * p * p, axis=-1)
     h0 = -fg.quad_log_prob_batched(xc) + ke(p0)
@@ -455,11 +459,15 @@ def run_hmc(
     by XLA.
     """
     k_init, k_warm, k_samp = jax.random.split(key, 3)
-    if shard is not None and cfg.fused_logpot:
-        # a pallas_call does not SPMD-partition: keeping the fused kernel
-        # on a sharded chain axis would gather the full [C, n] state onto
-        # one device every transition (same rule as NUTSConfig.pallas)
-        cfg = cfg.replace(fused_logpot=False)
+    if shard is not None:
+        if cfg.fused_logpot:
+            # a pallas_call does not SPMD-partition: keeping the fused
+            # non-quad kernel on a sharded chain axis would gather the
+            # full [C, n] state onto one device every transition
+            cfg = cfg.replace(fused_logpot=False)
+        # the quad leapfrog kernel, by contrast, dispatches per-shard via
+        # shard_map (chains never communicate inside a transition)
+        cfg = cfg.replace(shard=shard)
     state = init_hmc_state(fg, k_init, cfg, n_chains, shard)
     trans = lambda s, k, adapt: hmc_transition(fg, cfg, s, k, adapt)
     state = run_warmup(fg, cfg, state, k_warm, n_warmup, trans)

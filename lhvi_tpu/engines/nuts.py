@@ -49,10 +49,15 @@ class NUTSConfig:
     gibbs_max_colors: int = struct.field(pytree_node=False, default=0)
     adapt_mass: bool = struct.field(pytree_node=False, default=True)
     jitter: float = struct.field(pytree_node=False, default=1.0)
-    # fused Pallas trajectory kernel on pure-quadratic TPU targets.
-    # run_nuts force-disables it for sharded chain axes: a pallas_call
-    # does not SPMD-partition, so multi-chip runs use the XLA path.
+    # fused Pallas trajectory kernel on pure-quadratic TPU targets. On a
+    # sharded chain axis (run_nuts(shard=...)) the kernel runs one
+    # instance per device under shard_map — chains never communicate
+    # inside a transition, so this is exact SPMD (a bare pallas_call
+    # would not partition).
     pallas: bool = struct.field(pytree_node=False, default=True)
+    # chain-axis NamedSharding, stamped by run_nuts(shard=...); consumed
+    # by the Pallas trajectory dispatch (hashable -> valid static field)
+    shard: object = struct.field(pytree_node=False, default=None)
 
     def to_hmc(self) -> "_hmc.HMCConfig":
         """The HMCConfig sharing this config's warmup/Gibbs fields — the
@@ -147,7 +152,7 @@ def _uturn_batched(dq, p_a, p_b, inv_mass):
 
 
 def _nuts_sweep_batched(fg, key, xc, xd, eps, inv_mass, max_depth: int,
-                        use_pallas: bool = True):
+                        use_pallas: bool = True, shard=None):
     """One NUTS transition for ALL chains (lockstep shared leaf schedule).
 
     Returns (xc', accept_stat [C], depth [C], diverged [C]).
@@ -160,7 +165,8 @@ def _nuts_sweep_batched(fg, key, xc, xd, eps, inv_mass, max_depth: int,
     if use_pallas and fg.cont_pure_quad and jax.default_backend() == "tpu":
         from lhvi_tpu.ops.nuts_traj import nuts_trajectory
 
-        return nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth)
+        return nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth,
+                               shard=shard)
     C, n = xc.shape
     grad_lp = _make_grad_lp(fg, xd)
     std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
@@ -361,7 +367,7 @@ def nuts_transition(fg: CompiledFG, cfg: NUTSConfig, state: "_hmc.HMCState",
     eps = jnp.exp(state.log_eps)
     xc, acc, depth, div = _nuts_sweep_batched(
         fg, k_n, state.xc, xd, eps, state.inv_mass, cfg.max_depth,
-        use_pallas=cfg.pallas,
+        use_pallas=cfg.pallas, shard=cfg.shard,
     )
     state = state._replace(xc=xc, xd=xd)
     if adapt:
@@ -389,8 +395,9 @@ def run_nuts(
     k_init, k_warm, k_samp = jax.random.split(key, 3)
     hcfg = cfg.to_hmc()
     state = _hmc.init_hmc_state(fg, k_init, hcfg, n_chains, shard)
-    if shard is not None and cfg.pallas:
-        cfg = cfg.replace(pallas=False)  # pallas_call does not partition
+    if shard is not None:
+        # the Pallas trajectory kernel dispatches per-shard via shard_map
+        cfg = cfg.replace(shard=shard)
 
     def transition(state, key, adapt):
         return nuts_transition(fg, cfg, state, key, adapt)

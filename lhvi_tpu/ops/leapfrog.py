@@ -133,12 +133,25 @@ def _pallas_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps: int,
     return xo[:C, :n], po[:C, :n]
 
 
-def quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps: int):
+def quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps: int, shard=None):
     """Batched leapfrog on the fused quadratic target.
 
     x, p: [C, n]; J: [n, n]; h, inv_mass: [n]; eps: scalar (traced ok).
-    Uses the Pallas kernel on TPU, jnp fallback elsewhere.
+    Uses the Pallas kernel on TPU, jnp fallback elsewhere. ``shard``
+    (chain-axis NamedSharding) runs one kernel instance per device via
+    ``shard_map`` — a bare ``pallas_call`` does not SPMD-partition; the
+    integrator is chain-parallel so shards never communicate and the
+    result is bitwise-identical to the unsharded kernel.
     """
-    if jax.default_backend() == "tpu":
-        return _pallas_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps)
-    return _jnp_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps)
+    if jax.default_backend() != "tpu":
+        return _jnp_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps)
+    if shard is not None:
+        from lhvi_tpu.parallel.mesh import shard_map_chains
+
+        fn = shard_map_chains(
+            lambda x_, p_, J_, h_, im_, eps_: _pallas_quad_leapfrog(
+                x_, p_, J_, h_, im_, eps_, n_steps),
+            shard, n_sharded_args=2,
+        )
+        return fn(x, p, J, h, inv_mass, eps)
+    return _pallas_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps)

@@ -318,18 +318,37 @@ def _pallas_nuts_traj(q0, p0, J, h, inv_mass, eps, seed, max_depth: int,
     return qp[:n, :C].T, acc, depth, diverged
 
 
-def nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth: int):
-    """One fused NUTS transition for all chains on a pure-quadratic target.
-
-    Samples momenta with the caller's JAX key (identical distribution to
-    the XLA path), then runs the whole trajectory in the Pallas kernel.
-    Returns (xc', accept_stat [C], depth [C], diverged [C]).
-    """
+def _traj_one(key, xc, J, h, inv_mass, eps, max_depth: int):
+    """Momentum sampling + fused trajectory for one (shard of the) chain
+    batch; ``key`` must already be shard-unique."""
     C, n = xc.shape
     k_mom, k_seed = jax.random.split(key)
     std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
     p0 = std[None, :] * jax.random.normal(k_mom, (C, n))
     seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, dtype=jnp.int32)
-    return _pallas_nuts_traj(
-        xc, p0, fg.quad_J, fg.quad_h, inv_mass, eps, seed, max_depth
-    )
+    return _pallas_nuts_traj(xc, p0, J, h, inv_mass, eps, seed, max_depth)
+
+
+def nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth: int, shard=None):
+    """One fused NUTS transition for all chains on a pure-quadratic target.
+
+    Samples momenta with the caller's JAX key (identical distribution to
+    the XLA path), then runs the whole trajectory in the Pallas kernel.
+    Returns (xc', accept_stat [C], depth [C], diverged [C]). ``shard``
+    (chain-axis NamedSharding) runs one kernel instance per device via
+    ``shard_map`` — the per-shard key is the caller's key folded with the
+    device's chain-axis index, so shards draw independent streams.
+    """
+    if shard is not None:
+        from lhvi_tpu.parallel.mesh import chain_axes, shard_map_chains
+
+        axes = chain_axes(shard)
+        if axes:
+            def body(xc_, key_, J_, h_, im_, eps_):
+                for a in axes:
+                    key_ = jax.random.fold_in(key_, jax.lax.axis_index(a))
+                return _traj_one(key_, xc_, J_, h_, im_, eps_, max_depth)
+
+            fn = shard_map_chains(body, shard, n_sharded_args=1)
+            return fn(xc, key, fg.quad_J, fg.quad_h, inv_mass, eps)
+    return _traj_one(key, xc, fg.quad_J, fg.quad_h, inv_mass, eps, max_depth)

@@ -53,6 +53,45 @@ def shard_chain_state(mesh: Mesh, xc, xd, axis: str = "dp"):
     return jax.device_put(xc, sh), jax.device_put(xd, sh)
 
 
+def chain_axes(shard: NamedSharding):
+    """The mesh axis name(s) a chain-axis ``NamedSharding`` partitions
+    over, as a tuple ('' sharding → ())."""
+    if shard is None or not len(shard.spec):
+        return ()
+    ax = shard.spec[0]
+    if ax is None:
+        return ()
+    return ax if isinstance(ax, tuple) else (ax,)
+
+
+def shard_map_chains(fn, shard: NamedSharding, n_sharded_args: int):
+    """Wrap ``fn`` in ``shard_map`` over the chain axis of ``shard``.
+
+    The first ``n_sharded_args`` positional args are partitioned on their
+    leading (chains) axis; the rest are replicated. Every output is
+    chain-leading and partitioned the same way. This is how the Pallas
+    kernels compose with a sharded chain axis: a bare ``pallas_call``
+    does not SPMD-partition, but per-shard invocation under ``shard_map``
+    runs one kernel instance per device with no cross-device traffic
+    (the kernels are embarrassingly parallel over chains).
+    """
+    axes = chain_axes(shard)
+    if not axes:
+        return fn
+    spec = P(axes if len(axes) > 1 else axes[0])
+
+    def wrapper(*args):
+        in_specs = tuple(
+            spec if i < n_sharded_args else P() for i in range(len(args))
+        )
+        return jax.shard_map(
+            fn, mesh=shard.mesh, in_specs=in_specs, out_specs=spec,
+            check_vma=False,
+        )(*args)
+
+    return wrapper
+
+
 def shard_fg_factors(fg: CompiledFG, mesh: Mesh, axis: str = "tp") -> CompiledFG:
     """Tensor-parallel placement: shard every bucket's factor axis.
 
