@@ -188,3 +188,55 @@ def test_planned_sweep_unroll_identical():
                 fg, k, xc[0], xdi, unroll=u))(xd)
         )()
         assert (np.asarray(out) == np.asarray(base)).all(), unroll
+
+def test_plan_identity_nontrivial_domain_values():
+    """Value-space sweep tables (disc_cval/sub_vals/vals_) with domains
+    whose VALUES are not 0..V-1 — MLN formulas read values, so any
+    index/value confusion shows up here; includes an observed slot (baked
+    const value) and a repeated-slot factor."""
+    dv = Domain([2.5, -1.0, 0.25])
+    db = Domain([-3.0, 7.0])
+    a, b, c = RV(dv, name="a"), RV(db, name="b"), RV(dv, name="c")
+    x = RV(Domain([-5, 5], continuous=True), name="x")
+    c.value = 0.25  # observed at index 2 -> disc_cval path
+    g = Graph(
+        [a, b, c, x],
+        [
+            F(MLNPotential(lambda ar: ar[0] * ar[1], w=0.3,
+                           formula_name="prod"), [a, b]),
+            F(MLNPotential(lambda ar: -((ar[0] - ar[1]) ** 2) / 4.0, w=0.5,
+                           formula_name="sqdiff"), [a, c]),
+            F(MLNPotential(lambda ar: ar[0] * ar[1], w=0.2,
+                           formula_name="self"), [b, b]),
+            F(MLNPotential(lambda ar: -((ar[1] - ar[0]) ** 2) / 8.0, w=0.4,
+                           formula_name="link"), [a, x]),
+        ],
+    )
+    fg = compile_graph(g)
+    _assert_plan_matches(fg)
+
+    # and the sweep itself: marginals vs exact enumeration
+    exact = ExactPosterior(g, cont_grid=121)
+    C, S = 256, 600
+
+    @jax.jit
+    def run(key):
+        xc, xd = fg.init_state_batched(key, C)
+
+        def it(carry, k):
+            xc, xd = carry
+            keys = jax.random.split(k, C)
+            xd = jax.vmap(
+                lambda kk, xci, xdi: hmc.gibbs_sweep_planned(fg, kk, xci, xdi)
+            )(keys, xc, xd)
+            return (xc, xd), xd
+
+        _, hist = jax.lax.scan(it, (xc, xd), jax.random.split(key, S))
+        return hist
+
+    hist = np.asarray(run(jax.random.PRNGKey(0)))[100:]
+    for rv, vals in ((a, dv.values), (b, db.values)):
+        kind, i = fg.meta.loc(rv)
+        got = np.array([(hist[..., i] == k).mean() for k in range(len(vals))])
+        want = exact.disc_marginal(rv)
+        assert np.abs(got - want).max() < 0.03, (rv.name, got, want)
