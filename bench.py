@@ -19,7 +19,8 @@ Extra fields (same JSON line, full BASELINE metric set):
                           chain-samples/s on the 103k-latent hybrid MLN,
                           each sample = one FULL exact chromatic sweep
                           over 102,688 discrete latents + one HMC step
-                          (64 chains)
+                          (128 chains; 256 crashes this environment's
+                          TPU worker)
 
 ``vs_baseline``: the reference is a single-machine pure-Python/numpy
 codebase with no published numbers (BASELINE.md), so the baseline is a
@@ -240,7 +241,7 @@ def hmc_robot_throughput(n_segments=100, n_chains=16384):
     return n_chains * n_samples / dt
 
 
-def pod_gibbs_throughput(n_people=320, n_chains=64):
+def pod_gibbs_throughput(n_people=320, n_chains=128):
     """Pod-scale flagship (BASELINE config 5): full exact chromatic
     Gibbs sweep over ~1e5 discrete latents + HMC step, chain-samples/s
     through the public run_hmc path (vectorized relational->IR

@@ -31,12 +31,12 @@ def main():
     parser = make_parser(PodConfig(), __doc__)
     parser.add_argument("--distributed", action="store_true",
                         help="call jax.distributed.initialize() first")
-    parser.add_argument("--chunk", type=int, default=4,
-                        help="samples per device dispatch (this environment "
-                        "kills single executions over ~10s wall — at "
-                        "~80 ms/sample for the 320-person config the "
-                        "default is conservative; at 1e6 latents use "
-                        "--chunk 1)")
+    parser.add_argument("--chunk", type=int, default=1,
+                        help="samples per device dispatch. Default 1: "
+                        "multi-sample scan programs at pod scale "
+                        "reproducibly crash this environment's TPU "
+                        "worker (compile-side), and at ~70 ms/sample "
+                        "the per-dispatch overhead of chunk=1 is <1%")
     parser.add_argument("--fast", action="store_true",
                         help="ground via the vectorized relational→IR "
                         "compiler (relational/fast.py) — no per-ground "

@@ -33,7 +33,14 @@ def _rand_graph(rng):
         size = int(rng.integers(2, 5))
         # non-0-based value sets exercise value_index / disc_vals baking
         base = int(rng.integers(-2, 3))
-        rvs.append(RV(Domain(list(range(base, base + size))), name=f"d{i}"))
+        if rng.integers(0, 2):
+            vals = list(range(base, base + size))
+        else:
+            # non-integer, non-uniformly-spaced values exercise the
+            # value-space Gibbs tables (disc_cval / sub_vals / vals_)
+            vals = [round(base + s, 3)
+                    for s in np.cumsum(rng.uniform(0.3, 1.5, size))]
+        rvs.append(RV(Domain(vals), name=f"d{i}"))
     for i in range(n_cont):
         rvs.append(RV(Domain([-8, 8], continuous=True), name=f"x{i}"))
     disc = rvs[:n_disc]
@@ -186,3 +193,18 @@ def test_fuzzed_graph_log_prob_matches_oracle(seed):
                 lg[i, :size] - lg[i, 0], joint - joint[0],
                 rtol=1e-3, atol=1e-3,
             )
+
+    # per-color sweep tables reproduce disc_logits at every fuzzed state
+    # (the value-space plan: disc_cval / sub_vals / maintained value state)
+    if fg.n_disc and fg.color_plan is not None:
+        from lhvi_tpu.engines import hmc as _hmc
+
+        sizes = np.asarray(fg.disc_sizes)
+        for xc, xd, _ in states:
+            want = np.asarray(fg.disc_logits(jnp.asarray(xc),
+                                             jnp.asarray(xd)))
+            got = np.asarray(_hmc.planned_logits(fg, jnp.asarray(xc),
+                                                 jnp.asarray(xd)))
+            valid = np.arange(want.shape[1])[None, :] < sizes[:, None]
+            np.testing.assert_allclose(got[valid], want[valid],
+                                       rtol=1e-4, atol=1e-3)
