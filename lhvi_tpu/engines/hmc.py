@@ -149,19 +149,24 @@ def _color_class_logits(fg: CompiledFG, grp, tabs, xc, xd, xv):
             t["cont_const"],
         )  # [R, ac]
         lat = t["disc_mask"] > 0
+        # values-as-indices fast path (tables dropped at plan build)
+        cval = (t["disc_const"].astype(jnp.float32)
+                if t["disc_cval"] is None else t["disc_cval"])
         if xd.shape[0]:
             xdi = jnp.where(lat, xd[t["disc_idx"]], t["disc_const"])
-            xdv = jnp.where(lat, xv[t["disc_idx"]], t["disc_cval"])
+            xdv = jnp.where(lat, xv[t["disc_idx"]], cval)
         else:
             xdi = t["disc_const"]
-            xdv = t["disc_cval"]
+            xdv = cval
         sub = t["sub"][:, None, :]
         xdi_p = jnp.where(
             sub, cand[None, :, None],
             jnp.broadcast_to(xdi[:, None, :], (R, V, ad)),
         )  # [R, V, ad] — all slots of the target var move jointly
+        sub_vals = (cand.astype(jnp.float32)[None, :]
+                    if t["sub_vals"] is None else t["sub_vals"])
         xdv_p = jnp.where(
-            sub, t["sub_vals"][:, :, None],
+            sub, sub_vals[:, :, None],
             jnp.broadcast_to(xdv[:, None, :], (R, V, ad)),
         )
         lp = b.kernel(

@@ -1041,20 +1041,33 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
             #   sub_vals  [nc, R, Vmax]: candidate domain values of the
             #     row's target variable (all substituted slots share it).
             vals_rows = np_b["disc_vals"][fr]  # [nc, R, ad, Kb]
-            cval = np.take_along_axis(
-                vals_rows, np_b["disc_const"][fr][..., None].astype(
-                    np.int64), axis=-1
-            )[..., 0].astype(np.float32)
-            sub_eid = sub[eid]  # [nc, R, ad]
-            s0 = sub_eid.argmax(axis=-1)  # first substituted slot
-            sv = np.take_along_axis(
-                vals_rows, s0[..., None, None], axis=2
-            )[:, :, 0, :]  # [nc, R, Kb]
-            Kb = sv.shape[-1]
-            if Kb < max_v:
-                sv = np.concatenate(
-                    [sv, np.zeros(sv.shape[:-1] + (max_v - Kb,),
-                                  sv.dtype)], axis=-1)
+            # values-as-indices fast path: when every slot's domain values
+            # are exactly 0..K-1 (boolean/integer MLN models — including
+            # the pod-scale configs) the runtime derives values from
+            # indices directly and both tables are dropped, halving the
+            # plan's constant footprint at million-latent scale
+            Kb = vals_rows.shape[-1]
+            if np.array_equal(
+                vals_rows,
+                np.broadcast_to(np.arange(Kb, dtype=vals_rows.dtype),
+                                vals_rows.shape),
+            ):
+                cval = None
+                sv = None
+            else:
+                cval = np.take_along_axis(
+                    vals_rows, np_b["disc_const"][fr][..., None].astype(
+                        np.int64), axis=-1
+                )[..., 0].astype(np.float32)
+                sub_eid = sub[eid]  # [nc, R, ad]
+                s0 = sub_eid.argmax(axis=-1)  # first substituted slot
+                sv = np.take_along_axis(
+                    vals_rows, s0[..., None, None], axis=2
+                )[:, :, 0, :]  # [nc, R, Kb]
+                if Kb < max_v:
+                    sv = np.concatenate(
+                        [sv, np.zeros(sv.shape[:-1] + (max_v - Kb,),
+                                      sv.dtype)], axis=-1)
             tabs.append(
                 {
                     "cont_idx": jnp.asarray(
@@ -1069,9 +1082,10 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                     "disc_const": jnp.asarray(
                         np_b["disc_const"][fr].astype(np.int32)
                     ),
-                    "disc_cval": jnp.asarray(cval),
-                    "sub_vals": jnp.asarray(
-                        sv[..., :max_v].astype(np.float32)),
+                    "disc_cval": (None if cval is None
+                                  else jnp.asarray(cval)),
+                    "sub_vals": (None if sv is None else jnp.asarray(
+                        sv[..., :max_v].astype(np.float32))),
                     "params": {
                         k: jnp.asarray(v[fr])
                         for k, v in np_b["params"].items()
