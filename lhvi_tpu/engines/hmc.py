@@ -154,7 +154,11 @@ def _color_class_logits(fg: CompiledFG, grp, tabs, xc, xd, xv):
                 if t["disc_cval"] is None else t["disc_cval"])
         if xd.shape[0]:
             xdi = jnp.where(lat, xd[t["disc_idx"]], t["disc_const"])
-            xdv = jnp.where(lat, xv[t["disc_idx"]], cval)
+            # xv=None: all latent values ARE their indices (plan flag) —
+            # no value state exists, derive from the index gather
+            xdv = (jnp.where(lat, xdi.astype(jnp.float32), cval)
+                   if xv is None
+                   else jnp.where(lat, xv[t["disc_idx"]], cval))
         else:
             xdi = t["disc_const"]
             xdv = cval
@@ -194,7 +198,11 @@ def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
     if fg.n_disc == 0:
         return xd
     V = fg.max_v
-    xv = state_values(fg, xd)  # maintained value state, updated in-step
+    # value state is only carried when some latent domain's values differ
+    # from its indices; the common MLN case carries indices alone (plan
+    # flag values_are_indices — no second scatter per color step)
+    vai = fg.color_plan.values_are_indices
+    xv = None if vai else state_values(fg, xd)
     for gi, grp in enumerate(fg.color_plan.groups):
         gkey = jax.random.fold_in(key, gi)
         keys = jax.random.split(gkey, grp.n_colors)
@@ -209,21 +217,22 @@ def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
             new = jax.random.categorical(s["key"], logits, axis=-1).astype(
                 jnp.int32
             )
-            # the sampled indices' domain values, via the class value table
-            # (one-hot multiply-add — V is tiny and static)
-            nv = jnp.zeros(new.shape)
-            for v in range(V):
-                nv = nv + jnp.where(new == v, s["vals"][:, v], 0.0)
             # padded var slots carry id n_disc -> dropped by the scatter
             xd = xd.at[s["vars"]].set(new, mode="drop")
-            xv = xv.at[s["vars"]].set(nv, mode="drop")
+            if xv is not None:
+                # the sampled indices' domain values, via the class value
+                # table (one-hot multiply-add — V is tiny and static)
+                nv = jnp.zeros(new.shape)
+                for v in range(V):
+                    nv = nv + jnp.where(new == v, s["vals"][:, v], 0.0)
+                xv = xv.at[s["vars"]].set(nv, mode="drop")
             return (xd, xv), None
 
         xs = {
             "key": keys,
             "vars": grp.vars_,
             "sizes": grp.sizes,
-            "vals": grp.vals_,
+            "vals": None if vai else grp.vals_,
             "tabs": grp.bucket_tabs,
         }
         (xd, xv), _ = jax.lax.scan(step, (xd, xv), xs,
@@ -237,7 +246,8 @@ def planned_logits(fg: CompiledFG, xc: Array, xd: Array) -> Array:
     hook used by tests to prove the plan matches ``CompiledFG.disc_logits``."""
     V = fg.max_v
     out = jnp.zeros((fg.n_disc + 1, V))
-    xv = state_values(fg, xd)
+    xv = (None if fg.color_plan.values_are_indices
+          else state_values(fg, xd))
     for grp in fg.color_plan.groups:
         for j in range(grp.n_colors):
             tabs = tuple(

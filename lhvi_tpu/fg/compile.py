@@ -251,6 +251,11 @@ class GibbsColorGroup:
 @struct.dataclass
 class GibbsColorPlan:
     groups: Tuple[GibbsColorGroup, ...]
+    # True when every latent discrete domain's values are exactly 0..K-1:
+    # the sweep then derives slot values from indices and carries NO
+    # value state at all (no second scatter per color step)
+    values_are_indices: bool = struct.field(pytree_node=False,
+                                            default=False)
 
 
 @struct.dataclass
@@ -986,6 +991,13 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
         disc_vals = np.broadcast_to(
             np.arange(max_v, dtype=np.float32), (n_disc, max_v)
         )
+    # global values-as-indices: every latent var's first `size` values
+    # are exactly 0..size-1 (padding beyond size is irrelevant)
+    ar = np.arange(max_v, dtype=np.float64)
+    vai = bool(
+        np.all((disc_vals[:, :max_v] == ar[None, :])
+               | (ar[None, :] >= disc_sizes[:, None]))
+    ) if n_disc else True
     groups = []
     for _, colors in sorted(group_ids.items()):
         nc = len(colors)
@@ -1107,7 +1119,7 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                 bucket_tabs=tuple(tabs),
             )
         )
-    return GibbsColorPlan(groups=tuple(groups))
+    return GibbsColorPlan(groups=tuple(groups), values_are_indices=vai)
 
 
 def _greedy_color(g: Graph, meta: FGMeta, n_disc: int) -> np.ndarray:
