@@ -84,7 +84,9 @@ class PodConfig(EngineConfig):
 
     n_people: int = 320
     evidence_people: int = 16
-    n_chains: int = 64  # per chip; scale via the dp mesh axis
+    n_chains: int = 128  # per chip; scale via the dp mesh axis (128 is
+    # the measured single-chip sweet spot for the value-space sweep;
+    # 256-chain pod programs crash this environment's TPU worker)
     collect: str = "moments"
 
 
