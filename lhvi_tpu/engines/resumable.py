@@ -63,8 +63,12 @@ def sample_checkpointed(
 
     if engine == "hmc":
         cfg = cfg or _hmc.HMCConfig()
-        if shard is not None and cfg.fused_logpot:
-            cfg = cfg.replace(fused_logpot=False)  # pallas: no partition
+        if shard is not None:
+            if cfg.fused_logpot:
+                # non-quad fused kernel: reductions stay on the XLA path
+                cfg = cfg.replace(fused_logpot=False)
+            # quad leapfrog dispatches per shard (same rule as run_hmc)
+            cfg = cfg.replace(shard=shard)
         hcfg = cfg
 
         def trans(state, k):
@@ -73,8 +77,10 @@ def sample_checkpointed(
 
     elif engine == "nuts":
         cfg = cfg or _nuts.NUTSConfig()
-        if shard is not None and cfg.pallas:
-            cfg = cfg.replace(pallas=False)  # pallas_call doesn't partition
+        if shard is not None:
+            # Pallas trajectory kernel dispatches per shard via shard_map
+            # (same rule as run_nuts)
+            cfg = cfg.replace(shard=shard)
         hcfg = cfg.to_hmc()
 
         def trans(state, k):

@@ -209,9 +209,11 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
                     -0.5 * jnp.einsum("ci,ij,cj->c", X, Jb, X) + X @ hb
                 )
                 p0 = jax.random.normal(km, xc.shape)
+                # shard: the Pallas kernel dispatches one instance per
+                # device (particles never communicate inside a move)
                 x1, p1 = quad_leapfrog(
                     xc, p0, Jb, hb, jnp.ones(n), cfg.step_size,
-                    cfg.n_leapfrog,
+                    cfg.n_leapfrog, shard=shard,
                 )
                 h0 = -lp(xc) + 0.5 * jnp.sum(p0 * p0, -1)
                 h1 = -lp(x1) + 0.5 * jnp.sum(p1 * p1, -1)

@@ -434,8 +434,12 @@ def infer_c2f(
 
     if not schedule:
         raise ValueError("infer_c2f: schedule must be non-empty")
-    iters = max(cfg.n_iters // len(schedule), 1)
-    rem = cfg.n_iters % len(schedule)
+    base = cfg.n_iters // len(schedule)
+    iters = max(base, 1)
+    # only add the remainder when the division wasn't clamped, so the
+    # total equals cfg.n_iters whenever n_iters >= len(schedule) (below
+    # that, every stage runs its 1-iteration minimum)
+    rem = cfg.n_iters % len(schedule) if base >= 1 else 0
     params = None
     prev_fg = None
     traces = []
@@ -483,8 +487,9 @@ def infer_c2f_fast(
 
     if not schedule:
         raise ValueError("infer_c2f_fast: schedule must be non-empty")
-    iters = max(cfg.n_iters // len(schedule), 1)
-    rem = cfg.n_iters % len(schedule)
+    base = cfg.n_iters // len(schedule)
+    iters = max(base, 1)
+    rem = cfg.n_iters % len(schedule) if base >= 1 else 0
     ident = (np.arange(fg.n_cont), np.arange(fg.n_disc))
     params = None
     prev_cols = None

@@ -349,6 +349,11 @@ def nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth: int, shard=None):
                     key_ = jax.random.fold_in(key_, jax.lax.axis_index(a))
                 return _traj_one(key_, xc_, J_, h_, im_, eps_, max_depth)
 
-            fn = shard_map_chains(body, shard, n_sharded_args=1)
+            def direct(xc_, key_, J_, h_, im_, eps_):
+                # uneven chain/device split: no shard_map, no axis_index
+                return _traj_one(key_, xc_, J_, h_, im_, eps_, max_depth)
+
+            fn = shard_map_chains(body, shard, n_sharded_args=1,
+                                  fallback=direct)
             return fn(xc, key, fg.quad_J, fg.quad_h, inv_mass, eps)
     return _traj_one(key, xc, fg.quad_J, fg.quad_h, inv_mass, eps, max_depth)

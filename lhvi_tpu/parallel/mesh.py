@@ -64,7 +64,8 @@ def chain_axes(shard: NamedSharding):
     return ax if isinstance(ax, tuple) else (ax,)
 
 
-def shard_map_chains(fn, shard: NamedSharding, n_sharded_args: int):
+def shard_map_chains(fn, shard: NamedSharding, n_sharded_args: int,
+                     fallback=None):
     """Wrap ``fn`` in ``shard_map`` over the chain axis of ``shard``.
 
     The first ``n_sharded_args`` positional args are partitioned on their
@@ -74,13 +75,24 @@ def shard_map_chains(fn, shard: NamedSharding, n_sharded_args: int):
     does not SPMD-partition, but per-shard invocation under ``shard_map``
     runs one kernel instance per device with no cross-device traffic
     (the kernels are embarrassingly parallel over chains).
+
+    ``fallback`` (default ``fn``) handles chain counts not divisible by
+    the mesh axis size — it runs OUTSIDE shard_map, so it must not use
+    ``axis_index``.
     """
     axes = chain_axes(shard)
     if not axes:
-        return fn
+        return fallback if fallback is not None else fn
     spec = P(axes if len(axes) > 1 else axes[0])
+    n_shards = int(np.prod([shard.mesh.shape[a] for a in axes]))
 
     def wrapper(*args):
+        if args[0].shape[0] % n_shards != 0:
+            # shard_map needs the chain axis divisible by the mesh axis;
+            # uneven counts fall back to the direct call (GSPMD keeps it
+            # correct, at gather cost — pad n_chains to a multiple of the
+            # device count to stay on the per-shard path)
+            return (fallback if fallback is not None else fn)(*args)
         in_specs = tuple(
             spec if i < n_sharded_args else P() for i in range(len(args))
         )

@@ -144,3 +144,17 @@ def test_c2f_iters_total_matches_config():
         schedule=(1, None, "ground"),  # 100 = 33 + 33 + 34
     )
     assert len(res.trace) == 100
+
+def test_c2f_tiny_iters_clamp():
+    """n_iters < len(schedule): each stage runs its 1-iteration minimum
+    and the remainder is NOT added on top of the clamp."""
+    from lhvi_tpu.relational.fast import fast_compile
+
+    rg = friends_smokers(n_people=3, hybrid=False)
+    fg = fast_compile(rg)
+    res = vi.infer_c2f_fast(
+        fg, jax.random.PRNGKey(0),
+        vi.VIConfig(K=2, n_iters=2),
+        schedule=(1, None, "ground"),
+    )
+    assert len(res.trace) == 3  # 1 per stage, no remainder on top
