@@ -143,7 +143,7 @@ def main():
     # and still cost ~40x more per iteration while updating ~1% of vars)
     hcfg = hmc.HMCConfig(n_leapfrog=6, init_step_size=0.1)
 
-    def measure(shard, n_chains, tag):
+    def measure(shard, n_chains, tag, _retry=True):
         # short dispatches: this environment kills single device executions
         # over ~10s wall (observed: 4-sample scans pass, 8-sample crash the
         # worker); chunk the run and loop from the host instead
@@ -160,6 +160,13 @@ def main():
                 float(out[0]["mean"][0])
         except Exception as e:  # log and continue (infra flakes happen)
             log.log("throughput_error", config=tag, error=str(e)[:200])
+            if _retry:
+                # this environment's tunneled TPU worker takes ~5 min to
+                # restart after a crash; one retry usually succeeds
+                log.log("throughput_retry", config=tag, wait_s=300)
+                time.sleep(300)
+                jax.clear_caches()
+                return measure(shard, n_chains, tag, _retry=False)
             return None, None
         dt = time.perf_counter() - t0
         sps = n_chains * chunk * n_chunks / dt
