@@ -241,6 +241,36 @@ def hmc_robot_throughput(n_segments=100, n_chains=16384):
     return n_chains * n_samples / dt
 
 
+def nuts_robot_throughput(n_segments=100, n_chains=16384):
+    """NON-quadratic NUTS-within-Gibbs on the robot-mapping HMLN: full
+    iterations/s through the public run_nuts path — exercises the
+    lockstep batched XLA tree sweep (ops/nuts_traj covers only
+    pure-quadratic targets; this measures and guards the fallback)."""
+    import jax
+    from lhvi_tpu import compile_graph
+    from lhvi_tpu.engines import nuts
+    from lhvi_tpu.models.relational import robot_map, robot_scan_evidence
+    from lhvi_tpu.relational.data import load_evidence
+
+    text, _ = robot_scan_evidence(n_segments, seed=0)
+    g, _ = robot_map(n_segments, evidence=load_evidence(text)).ground()
+    fg = compile_graph(g)
+    cfg = nuts.NUTSConfig(max_depth=4, init_step_size=0.05,
+                          adapt_mass=False)
+    n_samples = 20
+
+    def run(rep):
+        moments, _, _ = nuts.run_nuts(
+            fg, jax.random.PRNGKey(rep), cfg,
+            n_chains=n_chains, n_warmup=0, n_samples=n_samples,
+            collect="moments",
+        )
+        return moments
+
+    dt = _timed(run, lambda out: float(out["mean"][0]))
+    return n_chains * n_samples / dt
+
+
 def pod_gibbs_throughput(n_people=320, n_chains=128):
     """Pod-scale flagship (BASELINE config 5): full exact chromatic
     Gibbs sweep over ~1e5 discrete latents + HMC step, chain-samples/s
@@ -293,7 +323,16 @@ def main():
         ("vi_steps_per_s", lambda: vi_throughput(g)),
         ("vi_lifted_steps_per_s", vi_lifted_throughput),
         ("hmc_nonquad_robot_samples_per_s", hmc_robot_throughput),
+        ("nuts_nonquad_robot_samples_per_s", nuts_robot_throughput),
         ("pod_gibbs_chain_samples_per_s", pod_gibbs_throughput),
+        # scale sweep of the 1M-latent path (optional fields; LAST — the
+        # long XLA compiles are the riskiest phases on this worker and a
+        # crash must not cost the core metrics; the persistent compile
+        # cache makes repeat driver runs cheap)
+        ("pod600_gibbs_chain_samples_per_s",
+         lambda: pod_gibbs_throughput(n_people=600, n_chains=16)),
+        ("pod1000_gibbs_chain_samples_per_s",
+         lambda: pod_gibbs_throughput(n_people=1000, n_chains=8)),
     ):
         try:
             out[name] = round(fn(), 1)

@@ -71,8 +71,12 @@ def main():
         from lhvi_tpu.relational.fast import fast_compile
 
         fg = fast_compile(rg)
+        from lhvi_tpu.fg.compile import color_plan_bytes
+
         log.log("fast_compile", wall_s=round(time.perf_counter() - t0, 2),
-                n_cont=fg.n_cont, n_disc=fg.n_disc)
+                n_cont=fg.n_cont, n_disc=fg.n_disc,
+                # replicated per device at any mesh size (docs/PERF.md r4)
+                plan_mb=round(color_plan_bytes(fg)["total_bytes"] / 1e6, 1))
 
         # ---- 2. lifted VI on the IR-level orbits ---------------------------
         from lhvi_tpu.lift.fast import fast_lift
@@ -172,6 +176,17 @@ def main():
         sps = n_chains * chunk * n_chunks / dt
         log.log("throughput", config=tag, chains=n_chains,
                 samples_per_s=round(sps, 1), wall_s=round(dt, 2))
+        # streamed convergence evidence (split-R̂ needs ≥4 draws per
+        # dispatch; with chunk=1 it is NaN by construction — run with
+        # --chunk 4+ on deployments whose worker tolerates longer scans)
+        diag = out[2]
+        rhat = np.asarray(diag.get("rhat", np.nan))
+        if np.isfinite(rhat).any():
+            log.log("convergence", config=tag,
+                    rhat_max=round(float(np.nanmax(rhat)), 4),
+                    ess_proxy_min=round(float(np.nanmin(
+                        np.asarray(diag["ess_proxy"]))), 1),
+                    accept=round(float(diag["accept_rate"]), 3))
         return sps, out
 
     n_dev = len(jax.devices())

@@ -84,9 +84,10 @@ class PodConfig(EngineConfig):
 
     n_people: int = 320
     evidence_people: int = 16
-    n_chains: int = 128  # per chip; scale via the dp mesh axis (128 is
-    # the measured single-chip sweet spot for the value-space sweep;
-    # 256-chain pod programs crash this environment's TPU worker)
+    # per-chip chain count; scale total chains via the dp mesh axis. 128
+    # is a conservative measured sweet spot — raise freely on deployments
+    # with more HBM headroom (see docs/PERF.md "environment limits").
+    n_chains: int = 128
     collect: str = "moments"
 
 

@@ -197,6 +197,10 @@ def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
     """
     if fg.n_disc == 0:
         return xd
+    # unroll < 1 would reach lax.scan's unroll argument and fail with an
+    # obscure scan error far from the config — clamp here (single choke
+    # point for every caller: HMC, NUTS, SMC rejuvenation)
+    unroll = max(1, int(unroll))
     V = fg.max_v
     # value state is only carried when some latent domain's values differ
     # from its indices; the common MLN case carries indices alone (plan
@@ -265,6 +269,86 @@ def planned_logits(fg: CompiledFG, xc: Array, xd: Array) -> Array:
     return jnp.where(valid, out, _NEG_BIG)
 
 
+class _StreamDiag(NamedTuple):
+    """Per-chain streaming accumulators for convergence diagnostics in
+    ``collect="moments"`` mode (SURVEY.md §6 metrics plan: R̂/ESS must be
+    available exactly where runs are too big to materialize samples).
+
+    Carries two per-chain Welford pairs (first/second half of the draw
+    window — the two "split" chains of split-R̂), one full-run pair, and a
+    lag-1 cross-product for an AR(1) ESS proxy. All [C, n_cont]."""
+
+    h1_mean: Array
+    h1_m2: Array
+    h2_mean: Array
+    h2_m2: Array
+    f_mean: Array
+    f_m2: Array
+    cross: Array
+    prev: Array
+
+
+def _stream_diag_init(C: int, n: int) -> _StreamDiag:
+    z = jnp.zeros((C, n))
+    return _StreamDiag(z, z, z, z, z, z, z, z)
+
+
+def _stream_diag_update(sd: _StreamDiag, t, xc: Array,
+                        half: int) -> _StreamDiag:
+    """Fold draw ``t`` (0-based) of every chain into the accumulators."""
+    tf = t.astype(xc.dtype)
+
+    def welford(mean, m2, cnt_new, m):
+        delta = xc - mean
+        mean2 = mean + m * delta / jnp.maximum(cnt_new, 1.0)
+        return mean2, m2 + m * delta * (xc - mean2)
+
+    in1 = (tf < half).astype(xc.dtype)
+    in2 = ((tf >= half) & (tf < 2 * half)).astype(xc.dtype)
+    h1_mean, h1_m2 = welford(
+        sd.h1_mean, sd.h1_m2, jnp.minimum(tf + 1.0, 1.0 * half), in1
+    )
+    h2_mean, h2_m2 = welford(
+        sd.h2_mean, sd.h2_m2, jnp.clip(tf + 1.0 - half, 0.0, 1.0 * half),
+        in2,
+    )
+    f_mean, f_m2 = welford(sd.f_mean, sd.f_m2, tf + 1.0, 1.0)
+    cross = sd.cross + jnp.where(tf > 0, xc * sd.prev, 0.0)
+    return _StreamDiag(h1_mean, h1_m2, h2_mean, h2_m2, f_mean, f_m2,
+                       cross, xc)
+
+
+def _stream_diag_finalize(sd: _StreamDiag, n_samples: int) -> dict:
+    """{'rhat': [n], 'ess_proxy': [n]} from the streamed accumulators.
+
+    ``rhat`` is EXACT split-R̂ (identical to ``utils.diagnostics.split_rhat``
+    on the materialized [S, C, n] samples — the per-half Welford pairs are
+    the same chain means/variances). ``ess_proxy`` is the AR(1)
+    approximation S·C·(1−ρ̂₁)/(1+ρ̂₁) from the pooled lag-1 autocorrelation —
+    a cheap streamed stand-in for the Geyer estimator (it ignores
+    higher-lag structure; use ``utils.diagnostics.ess`` on materialized
+    samples when exactness matters)."""
+    C, n = sd.f_mean.shape
+    half = n_samples // 2
+    if half < 2:
+        nanv = jnp.full((n,), jnp.nan)
+        return {"rhat": nanv, "ess_proxy": nanv}
+    chain_mean = jnp.concatenate([sd.h1_mean, sd.h2_mean], axis=0)
+    chain_var = jnp.concatenate([sd.h1_m2, sd.h2_m2], axis=0) / (half - 1)
+    B = half * jnp.var(chain_mean, axis=0, ddof=1)
+    W = jnp.mean(chain_var, axis=0)
+    var_hat = (half - 1) / half * W + B / half
+    rhat = jnp.sqrt(var_hat / jnp.maximum(W, 1e-12))
+    S = n_samples
+    var_c = sd.f_m2 / max(S - 1, 1)
+    rho1 = (sd.cross / max(S - 1, 1) - sd.f_mean * sd.f_mean) / jnp.maximum(
+        var_c, 1e-12
+    )
+    rho1 = jnp.clip(jnp.mean(rho1, axis=0), 0.0, 0.999)
+    ess = S * C * (1.0 - rho1) / (1.0 + rho1)
+    return {"rhat": rhat, "ess_proxy": ess}
+
+
 def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
                       inv_mass):
     """One HMC proposal for ALL chains at once.
@@ -301,16 +385,25 @@ def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
         xc = jnp.where(accept[:, None], x1, xc)
         return xc, jnp.exp(log_acc)
 
-    from lhvi_tpu.ops.leapfrog import quad_leapfrog
+    from lhvi_tpu.ops.leapfrog import ell_quad_leapfrog, quad_leapfrog
 
     C = xc.shape[0]
     k_mom, k_acc = jax.random.split(key)
     std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
     p0 = std[None, :] * jax.random.normal(k_mom, xc.shape)
-    x1, p1 = quad_leapfrog(
-        xc, p0, fg.quad_J, fg.quad_h, inv_mass, eps, cfg.n_leapfrog,
-        shard=cfg.shard,
-    )
+    if fg.quad_sparse:
+        # ELL fused path (n_cont beyond the dense cap): pure-XLA batched
+        # leapfrog on the gather·multiply·sum matvec — GSPMD partitions
+        # it natively on a sharded chain axis (no shard_map needed)
+        x1, p1 = ell_quad_leapfrog(
+            xc, p0, fg.quad_diag, fg.quad_ell_col, fg.quad_ell_w,
+            fg.quad_h, inv_mass, eps, cfg.n_leapfrog,
+        )
+    else:
+        x1, p1 = quad_leapfrog(
+            xc, p0, fg.quad_J, fg.quad_h, inv_mass, eps, cfg.n_leapfrog,
+            shard=cfg.shard,
+        )
     ke = lambda p: 0.5 * jnp.sum(inv_mass[None, :] * p * p, axis=-1)
     h0 = -fg.quad_log_prob_batched(xc) + ke(p0)
     h1 = -fg.quad_log_prob_batched(x1) + ke(p1)
@@ -500,22 +593,28 @@ def run_hmc(
         return state, (state.xc, state.xd, acc)
 
     if collect == "moments":
-        def moment_step(carry, key):
-            state, s1, s2, cnt = carry
+        half = n_samples // 2
+
+        def moment_step(carry, inp):
+            key, t = inp
+            state, s1, s2, cnt, sd = carry
             state, (xc, xd, acc) = sample_step(state, key)
             s1 = s1 + jnp.sum(xc, axis=0)
             s2 = s2 + jnp.sum(xc * xc, axis=0)
             if fg.n_disc:
                 oh = jax.nn.one_hot(xd, fg.max_v, dtype=jnp.float32)
                 cnt = cnt + jnp.sum(oh, axis=0)
-            return (state, s1, s2, cnt), acc
+            sd = _stream_diag_update(sd, t, xc, half)
+            return (state, s1, s2, cnt, sd), acc
 
         z1 = jnp.zeros(fg.n_cont)
         z2 = jnp.zeros(fg.n_cont)
         zc = jnp.zeros((max(fg.n_disc, 1), fg.max_v))
-        (state, s1, s2, cnt), accs = jax.lax.scan(
-            moment_step, (state, z1, z2, zc),
-            jax.random.split(k_samp, n_samples),
+        sd0 = _stream_diag_init(n_chains, fg.n_cont)
+        (state, s1, s2, cnt, sd), accs = jax.lax.scan(
+            moment_step, (state, z1, z2, zc, sd0),
+            (jax.random.split(k_samp, n_samples),
+             jnp.arange(n_samples, dtype=jnp.int32)),
         )
         n_obs = n_samples * n_chains
         mean = s1 / n_obs
@@ -530,6 +629,7 @@ def run_hmc(
             "accept_rate": jnp.mean(accs),
             "step_size": jnp.exp(state.log_eps),
             "inv_mass": state.inv_mass,
+            **_stream_diag_finalize(sd, n_samples),
         }
         return moments, None, diag
 

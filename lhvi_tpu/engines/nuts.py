@@ -49,6 +49,9 @@ class NUTSConfig:
     gibbs_max_colors: int = struct.field(pytree_node=False, default=0)
     adapt_mass: bool = struct.field(pytree_node=False, default=True)
     jitter: float = struct.field(pytree_node=False, default=1.0)
+    # per-color scan unroll for the planned Gibbs sweep (see
+    # HMCConfig.gibbs_unroll — pod-scale sweeps are loop-latency bound)
+    gibbs_unroll: int = struct.field(pytree_node=False, default=1)
     # fused Pallas trajectory kernel on pure-quadratic TPU targets. On a
     # sharded chain axis (run_nuts(shard=...)) the kernel runs one
     # instance per device under shard_map — chains never communicate
@@ -70,6 +73,7 @@ class NUTSConfig:
             gibbs_max_colors=self.gibbs_max_colors,
             adapt_mass=self.adapt_mass,
             jitter=self.jitter,
+            gibbs_unroll=self.gibbs_unroll,
         )
 
 
@@ -95,7 +99,15 @@ def _make_grad_lp(fg: CompiledFG, xd: Array):
     divergence ΔH) are exact, and ∇_q is identical to the full log-prob's.
     """
     if fg.cont_pure_quad:
-        J, h, c = fg.quad_J, fg.quad_h, fg.quad_c
+        h, c = fg.quad_h, fg.quad_c
+        if fg.quad_sparse:
+            def grad_lp(q):
+                g = h[None, :] - fg.quad_matvec_batched(q)
+                lp = c + 0.5 * jnp.sum(q * (h[None, :] + g), axis=-1)
+                return g, lp
+
+            return grad_lp
+        J = fg.quad_J
 
         def grad_lp(q):
             g = h[None, :] - q @ J  # J symmetric by construction
@@ -162,7 +174,8 @@ def _nuts_sweep_batched(fg, key, xc, xd, eps, inv_mass, max_depth: int,
     chain block); this XLA formulation is the fallback for hybrid /
     non-quadratic models, sharded chain axes, and CPU test meshes.
     """
-    if use_pallas and fg.cont_pure_quad and jax.default_backend() == "tpu":
+    if (use_pallas and fg.cont_pure_quad and not fg.quad_sparse
+            and jax.default_backend() == "tpu"):
         from lhvi_tpu.ops.nuts_traj import nuts_trajectory
 
         return nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth,
@@ -424,15 +437,19 @@ def run_nuts(
         return state, (acc, depth, div)
 
     if collect == "moments":
-        def moment_step(carry, key):
-            state, s1, s2, cnt = carry
+        half = n_samples // 2
+
+        def moment_step(carry, inp):
+            key, t = inp
+            state, s1, s2, cnt, sd = carry
             state, (acc, depth, div) = sample_step(state, key)
             s1 = s1 + jnp.sum(state.xc, axis=0)
             s2 = s2 + jnp.sum(state.xc * state.xc, axis=0)
             if fg.n_disc:
                 oh = jax.nn.one_hot(state.xd, fg.max_v, dtype=jnp.float32)
                 cnt = cnt + jnp.sum(oh, axis=0)
-            return (state, s1, s2, cnt), (
+            sd = _hmc._stream_diag_update(sd, t, state.xc, half)
+            return (state, s1, s2, cnt, sd), (
                 jnp.mean(acc),
                 jnp.mean(depth.astype(jnp.float32)),
                 jnp.mean(div.astype(jnp.float32)),
@@ -441,9 +458,11 @@ def run_nuts(
         z1 = jnp.zeros(fg.n_cont)
         z2 = jnp.zeros(fg.n_cont)
         zc = jnp.zeros((max(fg.n_disc, 1), fg.max_v))
-        (state, s1, s2, cnt), (accs, depths, divs) = jax.lax.scan(
-            moment_step, (state, z1, z2, zc),
-            jax.random.split(k_samp, n_samples),
+        sd0 = _hmc._stream_diag_init(n_chains, fg.n_cont)
+        (state, s1, s2, cnt, sd), (accs, depths, divs) = jax.lax.scan(
+            moment_step, (state, z1, z2, zc, sd0),
+            (jax.random.split(k_samp, n_samples),
+             jnp.arange(n_samples, dtype=jnp.int32)),
         )
         n_obs = n_samples * n_chains
         mean = s1 / n_obs
@@ -460,6 +479,7 @@ def run_nuts(
             "divergence_rate": jnp.mean(divs),
             "step_size": jnp.exp(state.log_eps),
             "inv_mass": state.inv_mass,
+            **_hmc._stream_diag_finalize(sd, n_samples),
         }
         return moments, None, diag
 

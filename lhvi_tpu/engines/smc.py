@@ -58,6 +58,19 @@ class SMCConfig:
     # moves (ops/logpot.py; at parity with the XLA path at measured
     # scales — see logpot_leapfrog docstring)
     fused_logpot: bool = struct.field(pytree_node=False, default=False)
+    # --- adaptive tempering (VERDICT r3 #3) -------------------------------
+    # CESS-targeted β schedule: each temperature picks the largest Δβ
+    # whose CONDITIONAL ESS stays ≥ ess_target·N (bisection; ``n_temps`` stays
+    # the STATIC scan cap so the program jits once — steps after β reaches
+    # 1 are runtime no-ops, and the last step forces β = 1 so a stiff
+    # target can never leave the anneal unfinished). Plus Robbins–Monro
+    # per-temperature rejuvenation step-size adaptation from the accept
+    # trace (fixed-grid runs silently lose rejuvenation acceptance on
+    # stiff targets; the trace was logged but unused before round 4).
+    adaptive: bool = struct.field(pytree_node=False, default=False)
+    ess_target: float = struct.field(pytree_node=False, default=0.9)
+    target_accept: float = struct.field(pytree_node=False, default=0.65)
+    rm_gain: float = struct.field(pytree_node=False, default=0.5)
 
 
 class SMCState(NamedTuple):
@@ -93,6 +106,58 @@ def systematic_resample(key: Array, log_w: Array, n: int) -> Array:
     )
 
 
+def _log_ess(lw: Array) -> Array:
+    """log ESS of (unnormalized) log-weights: 2·lse(lw) − lse(2·lw)."""
+    from jax.scipy.special import logsumexp
+
+    return 2.0 * logsumexp(lw) - logsumexp(2.0 * lw)
+
+
+def _choose_beta(log_w: Array, delta_lp: Array, beta: Array,
+                 target_log_cess: Array, n_iters: int = 26) -> Array:
+    """Largest β′ ∈ (β, 1] whose CONDITIONAL ESS ≥ the target (bisection).
+
+    CESS (Zhou–Johansen–Aston 2016): with normalized weights W and
+    incremental weights u = exp(Δβ·delta_lp),
+    ``CESS = N·(Σ W u)² / Σ W u²`` — the quality of THIS reweighting step
+    alone. Plain ESS would stall: entering weights often already sit at
+    the target, so any Δβ > 0 fails and the anneal crawls at the floor.
+    CESS → N as Δβ → 0 regardless of current degeneracy.
+
+    ``log_w`` enters normalized; ``delta_lp = log p − log q0`` at the
+    current particles. CESS is monotone decreasing in Δβ, so bisection
+    converges geometrically; 26 iterations pin Δβ to ~1e-8. A 1e-3·(1−β)
+    floor keeps the anneal advancing even when the target is unreachable
+    (pathologically heavy-tailed weights). On a sharded particle axis the
+    logsumexps lower to psums.
+    """
+    from jax.scipy.special import logsumexp
+
+    hi0 = 1.0 - beta
+    logN = jnp.log(1.0 * log_w.shape[0])
+
+    def ok(d):
+        lcess = logN + 2.0 * logsumexp(log_w + d * delta_lp) - logsumexp(
+            log_w + 2.0 * d * delta_lp
+        )
+        return lcess >= target_log_cess
+
+    def bisect(_):
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            good = ok(mid)
+            return jnp.where(good, mid, lo), jnp.where(good, hi, mid)
+
+        lo, _ = jax.lax.fori_loop(
+            0, n_iters, body, (jnp.zeros(()), hi0)
+        )
+        return lo  # largest known-good Δβ
+
+    delta = jax.lax.cond(ok(hi0), lambda _: hi0, bisect, None)
+    return beta + jnp.maximum(delta, hi0 * 1e-3)
+
+
 @partial(jax.jit, static_argnames=("cfg", "shard"))
 def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
             shard=None):
@@ -123,16 +188,21 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
 
     betas = jnp.linspace(0.0, 1.0, cfg.n_temps + 1)
 
-    def temp_step(state: SMCState, inp):
-        beta_prev, beta = inp
+    def anneal_step(state: SMCState, beta_prev, beta, step, delta_lp=None):
+        """Shared reweight → resample → rejuvenate body. ``step`` is the
+        rejuvenation step size (python float on the fixed grid, carried
+        tracer when adaptive); ``delta_lp`` lets the adaptive driver reuse
+        the log-prob evaluation its β-chooser already paid for."""
         key, k_res, k_mom, k_acc, k_gibbs = jax.random.split(state.key, 5)
         xc, xd, log_w = state.xc, state.xd, state.log_w
 
         # --- reweight: incremental weight between temperatures ------------
         # invariant: log_w enters normalized (logsumexp == 0)
-        lp_full = fg.log_prob_batched(xc, xd)
-        lp_base = _base_log_prob(fg, cfg, xc)
-        inc = (beta - beta_prev) * (lp_full - lp_base)
+        if delta_lp is None:
+            lp_full = fg.log_prob_batched(xc, xd)
+            lp_base = _base_log_prob(fg, cfg, xc)
+            delta_lp = lp_full - lp_base
+        inc = (beta - beta_prev) * delta_lp
         lw_unnorm = log_w + inc
         # fused Pallas weight pipeline (north-star "resampler" kernel): one
         # VMEM pass for normalize + ESS + cumulative weights. On a sharded
@@ -180,7 +250,7 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
                 scale = cfg.base_scale * jnp.ones_like(mid)
                 p0 = jax.random.normal(km, xc.shape)
                 x1, p1, lp0, lp1 = logpot_leapfrog(
-                    fg, xc, p0, xd, jnp.ones(fg.n_cont), cfg.step_size,
+                    fg, xc, p0, xd, jnp.ones(fg.n_cont), step,
                     cfg.n_leapfrog, beta=beta, base_mid=mid,
                     base_inv_s2=1.0 / (scale * scale),
                     plan="auto" if cfg.fused_logpot else None,
@@ -212,7 +282,7 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
                 # shard: the Pallas kernel dispatches one instance per
                 # device (particles never communicate inside a move)
                 x1, p1 = quad_leapfrog(
-                    xc, p0, Jb, hb, jnp.ones(n), cfg.step_size,
+                    xc, p0, Jb, hb, jnp.ones(n), step,
                     cfg.n_leapfrog, shard=shard,
                 )
                 h0 = -lp(xc) + 0.5 * jnp.sum(p0 * p0, -1)
@@ -223,7 +293,10 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
                 ) & jnp.isfinite(h1)
                 return jnp.where(ok[:, None], x1, xc), ok
 
-            if fg.n_cont and fg.cont_pure_quad and cfg.quad_moves:
+            # quad_moves needs the dense (J, h): ELL-sparse models route
+            # through move_batched (autodiff through the sparse matvec)
+            if (fg.n_cont and fg.cont_pure_quad and cfg.quad_moves
+                    and not fg.quad_sparse):
                 xc, acc = move_quad(km, ka, xc)
             elif fg.n_cont:
                 xc, acc = move_batched(km, ka, xc, xd)
@@ -273,12 +346,64 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
         log_z=jnp.zeros(()),
         key=key,
     )
-    state, (ess_tr, acc_tr) = jax.lax.scan(
-        temp_step, state, (betas[:-1], betas[1:])
-    )
+    if not cfg.adaptive:
+        def temp_step(state: SMCState, inp):
+            beta_prev, beta = inp
+            new, ys = anneal_step(state, beta_prev, beta, cfg.step_size)
+            return new, ys + (beta,)
+
+        state, (ess_tr, acc_tr, beta_tr) = jax.lax.scan(
+            temp_step, state, (betas[:-1], betas[1:])
+        )
+        n_used = jnp.asarray(cfg.n_temps)
+        final_step = jnp.asarray(cfg.step_size)
+    else:
+        target_log_cess = jnp.log(cfg.ess_target * N)
+
+        def temp_step(carry, t_idx):
+            def run(carry):
+                state, beta_prev, log_step = carry
+                lp_full = fg.log_prob_batched(state.xc, state.xd)
+                lp_base = _base_log_prob(fg, cfg, state.xc)
+                delta_lp = lp_full - lp_base
+                beta = _choose_beta(
+                    state.log_w, delta_lp, beta_prev, target_log_cess
+                )
+                # the static cap must never truncate the anneal short of
+                # β = 1 (a truncated anneal silently biases log-Z)
+                beta = jnp.where(t_idx >= cfg.n_temps - 1, 1.0, beta)
+                new, (ess, acc) = anneal_step(
+                    state, beta_prev, beta, jnp.exp(log_step),
+                    delta_lp=delta_lp,
+                )
+                # Robbins–Monro toward target_accept on log step size
+                log_step = log_step + cfg.rm_gain * (
+                    acc - cfg.target_accept
+                )
+                return (new, beta, log_step), (ess, acc, beta)
+
+            def skip(carry):
+                state, beta_prev, log_step = carry
+                return carry, (jnp.asarray(1.0 * N), jnp.asarray(1.0),
+                               beta_prev)
+
+            state, beta_prev, _ = carry
+            return jax.lax.cond(beta_prev < 1.0, run, skip, carry)
+
+        (state, _, log_step_f), (ess_tr, acc_tr, beta_tr) = jax.lax.scan(
+            temp_step,
+            (state, jnp.zeros(()), jnp.log(jnp.asarray(cfg.step_size))),
+            jnp.arange(cfg.n_temps),
+        )
+        n_used = jnp.sum(
+            jnp.concatenate([jnp.zeros((1,)), beta_tr[:-1]]) < 1.0
+        ).astype(jnp.int32)
+        final_step = jnp.exp(log_step_f)
     # log_z accumulated log(Σ w·inc) per step with normalized weights, so it
     # estimates log(Z_p / Z_q0); q0 here is normalized, i.e. log_z ≈ log Z.
-    diag = {"ess": ess_tr, "accept": acc_tr, "log_z": state.log_z}
+    diag = {"ess": ess_tr, "accept": acc_tr, "log_z": state.log_z,
+            "betas": beta_tr, "n_temps_used": n_used,
+            "final_step": final_step}
     return state.xc, state.xd, state.log_w, state.log_z, diag
 
 

@@ -243,9 +243,14 @@ def _quad_expected(fg: CompiledFG, params: VIParams) -> Array:
     w = jax.nn.softmax(params.log_w)
     mu = params.mu  # [K, n]
     s2 = jnp.exp(2.0 * params.log_sigma)
-    quad = jnp.einsum("ki,ij,kj->k", mu, fg.quad_J, mu) + jnp.einsum(
-        "i,ki->k", jnp.diagonal(fg.quad_J), s2
-    )
+    if fg.quad_sparse:
+        quad = jnp.sum(mu * fg.quad_matvec_batched(mu), axis=-1) + (
+            s2 @ fg.quad_diag
+        )
+    else:
+        quad = jnp.einsum("ki,ij,kj->k", mu, fg.quad_J, mu) + jnp.einsum(
+            "i,ki->k", jnp.diagonal(fg.quad_J), s2
+        )
     lin = mu @ fg.quad_h
     return jnp.sum(w * (-0.5 * quad + lin + fg.quad_c))
 

@@ -245,6 +245,8 @@ class GibbsColorGroup:
     vars_: Array  # i32 [nc, M] global discrete var ids (pad = n_disc)
     sizes: Array  # i32 [nc, M] domain sizes (pad = 1)
     vals_: Array  # f32 [nc, M, Vmax] index->domain value per class var
+    #               (None when the plan's values_are_indices flag is set —
+    #                the sweep never reads it, so it is not built)
     bucket_tabs: Tuple  # per bucket: None | dict of [nc, R, …] arrays
 
 
@@ -291,6 +293,14 @@ class CompiledFG:
     quad_c: Array  # f32 scalar
     gibbs: GibbsGather
     color_plan: Any = None  # GibbsColorPlan | None (per-color Gibbs tables)
+    # --- sparse (ELL) information form: n_cont > quad_max_n -------------
+    # J in padded-neighbor layout: J@x = diag·x + Σ_k w[:,k]·x[col[:,k]] —
+    # one [n, D] gather·multiply·sum, no scatters, static shapes. Set when
+    # quad_sparse; quad_J stays [0,0] (a dense J at 16k vars is 1 GB).
+    quad_diag: Any = None  # f32 [n_cont]
+    quad_ell_col: Any = None  # i32 [n_cont, D]
+    quad_ell_w: Any = None  # f32 [n_cont, D]
+    quad_sparse: bool = struct.field(pytree_node=False, default=False)
 
     # ------------------------------------------------------------------
     @property
@@ -302,8 +312,18 @@ class CompiledFG:
             self.buckets[i].ac == 0 for i in self.lp_bucket_idx
         )
 
+    def quad_matvec_batched(self, xc: Array) -> Array:
+        """``J @ x`` rows for a batch: [C, n] → [C, n] (ELL form)."""
+        off = jnp.sum(self.quad_ell_w[None] * xc[:, self.quad_ell_col], -1)
+        return xc * self.quad_diag[None] + off
+
     def quad_log_prob_batched(self, xc: Array) -> Array:
         """Batched continuous energy of the fused form: [C, n] → [C]."""
+        if self.quad_sparse:
+            Jx = self.quad_matvec_batched(xc)
+            return self.quad_c + xc @ self.quad_h - 0.5 * jnp.sum(
+                xc * Jx, axis=-1
+            )
         return (
             self.quad_c
             + xc @ self.quad_h
@@ -313,7 +333,12 @@ class CompiledFG:
     def log_prob(self, xc: Array, xd: Array) -> Array:
         """Unnormalized log p(x) = Σ_f scale_f · log φ_f. Jit/vmap friendly."""
         total = jnp.zeros((), jnp.float32)
-        if self.has_quad:
+        if self.has_quad and self.quad_sparse:
+            Jx = self.quad_matvec_batched(xc[None])[0]
+            total = total + self.quad_c + xc @ self.quad_h - 0.5 * (
+                xc @ Jx
+            )
+        elif self.has_quad:
             total = total + self.quad_c + xc @ (
                 self.quad_h - 0.5 * (self.quad_J @ xc)
             )
@@ -560,9 +585,17 @@ def compile_graph(
         buckets_raw.setdefault(key, []).append(f)
 
     # --- quadratic fusion decision per bucket ---------------------------
-    from lhvi_tpu.fg.quad import QUADRATIC_TYPES, accumulate_information_form
+    # n_cont ≤ quad_max_n fuses into a dense information form (one MXU
+    # matmul per log-prob/grad); beyond it the ELL sparse form keeps the
+    # fused fast path alive (VERDICT r3 #4: a 128×128 Gaussian grid used
+    # to silently fall back to the gather-based bucket path)
+    from lhvi_tpu.fg.quad import (
+        QUADRATIC_TYPES,
+        accumulate_information_ell,
+        accumulate_information_form,
+    )
 
-    do_fuse = fuse_quadratic and 0 < n_cont <= quad_max_n
+    do_fuse = fuse_quadratic and n_cont > 0
     fused_flags: List[bool] = []
     fused_factors: List[F] = []
 
@@ -695,14 +728,36 @@ def compile_graph(
 
     # --- fold fused buckets into the information form -------------------
     has_quad = bool(fused_factors)
-    if has_quad:
+    quad_sparse = False
+    quad_diag = quad_ell_col = quad_ell_w = None
+    J = None
+    if has_quad and n_cont > quad_max_n:
+        ell = accumulate_information_ell(
+            fused_factors, meta, n_cont, scales=scales
+        )
+        if ell is None:
+            # densely coupled rows: ELL would be O(n²) — un-fuse and let
+            # the bucket path evaluate these factors
+            has_quad = False
+            fused_flags = [False] * len(fused_flags)
+            fused_factors = []
+        else:
+            diag_np, col_np, w_np, h, c = ell
+            quad_sparse = True
+            quad_diag = jnp.asarray(diag_np)
+            quad_ell_col = jnp.asarray(col_np)
+            quad_ell_w = jnp.asarray(w_np)
+            quad_J = jnp.zeros((0, 0))
+            quad_h = jnp.asarray(h, jnp.float32)
+            quad_c = jnp.asarray(c, jnp.float32)
+    if has_quad and not quad_sparse:
         J, h, c = accumulate_information_form(
             fused_factors, meta, n_cont, scales=scales
         )
         quad_J = jnp.asarray(J, jnp.float32)
         quad_h = jnp.asarray(h, jnp.float32)
         quad_c = jnp.asarray(c, jnp.float32)
-    else:
+    if not has_quad:
         quad_J = jnp.zeros((0, 0))
         quad_h = jnp.zeros((0,))
         quad_c = jnp.zeros(())
@@ -727,9 +782,11 @@ def compile_graph(
         "cont_counts": np.asarray(cont_counts, np.float32),
         "disc_counts": np.asarray(disc_counts, np.float32),
     }
-    if has_quad:
+    if has_quad and not quad_sparse:
         # host mirror of the information form: kernel plans built inside a
         # jitted caller (where quad_J/quad_h are tracers) read these
+        # (the Pallas logpot plan is dense-only; sparse models use the
+        # XLA matvec path, so no mirror is needed)
         meta.np_global["quad_J"] = np.asarray(J, np.float32)
         meta.np_global["quad_h"] = np.asarray(h, np.float32)
 
@@ -755,6 +812,10 @@ def compile_graph(
         quad_c=quad_c,
         gibbs=gibbs,
         color_plan=color_plan,
+        quad_diag=quad_diag,
+        quad_ell_col=quad_ell_col,
+        quad_ell_w=quad_ell_w,
+        quad_sparse=quad_sparse,
     )
 
 
@@ -1005,12 +1066,16 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
         M = max(M, 1)
         vars_g = np.full((nc, M), n_disc, np.int64)
         sizes_g = np.ones((nc, M), np.int64)
-        vals_g = np.zeros((nc, M, max_v), np.float32)
+        # when values ARE indices the sweep never reads the class value
+        # table (xs['vals'] is None) — don't build or ship it at all
+        # (at million-latent scale it is [nc, M, Vmax] f32 per group)
+        vals_g = None if vai else np.zeros((nc, M, max_v), np.float32)
         for j, c in enumerate(colors):
             members = order[starts[c] : starts[c] + counts[c]]
             vars_g[j, : len(members)] = members
             sizes_g[j, : len(members)] = disc_sizes[members]
-            vals_g[j, : len(members)] = disc_vals[members, :max_v]
+            if vals_g is not None:
+                vals_g[j, : len(members)] = disc_vals[members, :max_v]
 
         tabs = []
         for np_b, e in zip(np_buckets, b_sorted):
@@ -1115,11 +1180,38 @@ def _build_color_plan(np_buckets: List[Dict[str, np.ndarray]], n_disc: int,
                 n_vars=M,
                 vars_=jnp.asarray(vars_g.astype(np.int32)),
                 sizes=jnp.asarray(sizes_g.astype(np.int32)),
-                vals_=jnp.asarray(vals_g),
+                vals_=None if vals_g is None else jnp.asarray(vals_g),
                 bucket_tabs=tuple(tabs),
             )
         )
     return GibbsColorPlan(groups=tuple(groups), values_are_indices=vai)
+
+
+def color_plan_bytes(fg: "CompiledFG") -> dict:
+    """Device-memory footprint of the compiled Gibbs color plan.
+
+    The plan tables are REPLICATED across the mesh (only chain state is
+    sharded), so this is the per-device HBM the plan costs at any device
+    count — the number to budget against when sizing pod runs
+    (docs/PERF.md "plan-table memory").
+
+    Returns {'total_bytes': int, 'per_group': [...], 'n_groups': int}.
+    """
+    if fg.color_plan is None:
+        return {"total_bytes": 0, "per_group": [], "n_groups": 0}
+    per_group = []
+    total = 0
+    for grp in fg.color_plan.groups:
+        leaves = jax.tree_util.tree_leaves(
+            (grp.vars_, grp.sizes, grp.vals_, grp.bucket_tabs)
+        )
+        b = int(sum(x.size * x.dtype.itemsize for x in leaves))
+        per_group.append(
+            {"n_colors": grp.n_colors, "n_vars": grp.n_vars, "bytes": b}
+        )
+        total += b
+    return {"total_bytes": total, "per_group": per_group,
+            "n_groups": len(per_group)}
 
 
 def _greedy_color(g: Graph, meta: FGMeta, n_disc: int) -> np.ndarray:

@@ -155,3 +155,33 @@ def quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps: int, shard=None):
         )
         return fn(x, p, J, h, inv_mass, eps)
     return _pallas_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps)
+
+
+def ell_quad_leapfrog(x, p, diag, col, w, h, inv_mass, eps, n_steps: int):
+    """Batched leapfrog on a SPARSE (ELL) quadratic target.
+
+    x, p: [C, n]; diag, h, inv_mass: [n]; col/w: [n, D] padded-neighbor
+    tables (see ``CompiledFG.quad_matvec_batched``); eps traced ok.
+    ∇log p = h − J x with J@x one [C, n, D] gather·multiply·sum — maps to
+    TPU vector lanes with static shapes and no scatters; there is no
+    matmul for a Pallas kernel to win back, so this stays pure XLA (and
+    GSPMD-partitions natively over a sharded chain axis). Gradients are
+    cached across the step boundary: n_steps costs n_steps+1 matvecs,
+    not 2·n_steps.
+    """
+
+    def matvec(x):
+        return x * diag[None] + jnp.sum(w[None] * x[:, col], axis=-1)
+
+    g = h[None] - matvec(x)
+
+    def body(_, carry):
+        x, m, g = carry
+        m = m + 0.5 * eps * g
+        x = x + eps * inv_mass[None] * m
+        g = h[None] - matvec(x)
+        m = m + 0.5 * eps * g
+        return x, m, g
+
+    x, p, _ = jax.lax.fori_loop(0, n_steps, body, (x, p, g))
+    return x, p

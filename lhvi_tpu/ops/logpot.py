@@ -110,6 +110,10 @@ def logpot_plan(fg, max_bytes: int = 8 << 20,
     idx = fg.cont_bucket_idx
     if not idx or fg.n_cont == 0:
         return None
+    if getattr(fg, "quad_sparse", False):
+        # the kernel's quad term is a dense VMEM matmul; ELL-sparse models
+        # (n_cont past the dense cap) stay on the XLA matvec path
+        return None
     n_pad = _round_up(max(fg.n_cont, 1), _LANE)
     total = 0
     if fg.has_quad:

@@ -92,6 +92,16 @@ def shard_map_chains(fn, shard: NamedSharding, n_sharded_args: int,
             # uneven counts fall back to the direct call (GSPMD keeps it
             # correct, at gather cost — pad n_chains to a multiple of the
             # device count to stay on the per-shard path)
+            import warnings
+
+            warnings.warn(
+                f"chain axis {args[0].shape[0]} not divisible by the "
+                f"{n_shards}-way mesh axis {axes}: falling back to an "
+                "unpartitioned kernel call, which gathers the full chain "
+                "state onto one device every transition. Pad n_chains to "
+                "a multiple of the device count to stay on the per-shard "
+                "path.", stacklevel=2,
+            )
             return (fallback if fallback is not None else fn)(*args)
         in_specs = tuple(
             spec if i < n_sharded_args else P() for i in range(len(args))

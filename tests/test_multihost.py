@@ -77,9 +77,32 @@ def _worker(pid: int, nproc: int = 2):
     lz = float(jax.device_get(log_z))
     assert np.isfinite(lz)
     assert float(jax.device_get(jnp.min(sdiag["ess"]))) > 2048 * 0.1
+
+    # --- checkpoint-in-the-loop ACROSS the process boundary (r3 #7) ------
+    # gather-then-save / read-then-reshard (see resumable._to_host):
+    # a run killed mid-stream and resumed must be bitwise-identical to an
+    # uninterrupted one, with the chain axis spanning both processes.
+    from lhvi_tpu.engines.resumable import sample_checkpointed
+
+    ckroot = os.environ["LHVI_MH_CKPT"]
+    kw = dict(engine="hmc", n_chains=16, n_warmup=20, n_samples=40,
+              chunk_size=10, shard=shard,
+              cfg=hmc.HMCConfig(n_leapfrog=4, init_step_size=0.3))
+    full = sample_checkpointed(
+        fg, jax.random.PRNGKey(2), ckpt_dir=ckroot + "/a", **kw)
+    interrupted = sample_checkpointed(
+        fg, jax.random.PRNGKey(2), ckpt_dir=ckroot + "/b",
+        _interrupt_after=2, **kw)
+    assert interrupted is None
+    resumed = sample_checkpointed(
+        fg, jax.random.PRNGKey(2), ckpt_dir=ckroot + "/b", **kw)
+    assert (full.moments["mean"] == resumed.moments["mean"]).all()
+    assert (full.moments["disc_probs"] == resumed.moments["disc_probs"]).all()
+    assert full.diag["accept_rate"] == resumed.diag["accept_rate"]
+
     if pid == 0:
         print("MULTIHOST_HMC_OK", mean.round(3), dp[0].round(3),
-              "SMC_LOGZ", round(lz, 3))
+              "SMC_LOGZ", round(lz, 3), "RESUME_BITWISE_OK")
 
 
 @pytest.mark.skipif(
@@ -92,6 +115,9 @@ def test_run_hmc_over_two_process_dcn_mesh(tmp_path):
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/lhvi_jax_cache"
+    # shared checkpoint root for the resume-bitwise segment (stands in for
+    # the shared filesystem a real pod checkpoint setup requires)
+    env["LHVI_MH_CKPT"] = str(tmp_path / "ck")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker", str(pid)],
