@@ -376,10 +376,18 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
                     state, beta_prev, beta, jnp.exp(log_step),
                     delta_lp=delta_lp,
                 )
-                # Robbins–Monro toward target_accept on log step size
-                log_step = log_step + cfg.rm_gain * (
-                    acc - cfg.target_accept
+                # Deadband Robbins–Monro on log step size: shrink when
+                # acceptance falls below target (the stiff-target failure
+                # mode), grow only when it exceeds 0.95 (step clearly too
+                # small). A symmetric pull toward target_accept would
+                # INFLATE the step on easy targets until acceptance drops
+                # to the target by construction — measured +66% log-Z
+                # error on the LDS config (docs/PERF.md round 4).
+                delta = jnp.where(
+                    acc < cfg.target_accept, acc - cfg.target_accept,
+                    jnp.maximum(acc - 0.95, 0.0),
                 )
+                log_step = log_step + cfg.rm_gain * delta
                 return (new, beta, log_step), (ess, acc, beta)
 
             def skip(carry):
