@@ -59,7 +59,8 @@ def run_engine(fg, cfg, key):
         res = smc.sample(
             fg, key,
             smc.SMCConfig(
-                n_particles=cfg.smc_particles, n_temps=cfg.smc_temps
+                n_particles=cfg.smc_particles, n_temps=cfg.smc_temps,
+                adaptive=getattr(cfg, "smc_adaptive", False),
             ),
         )
     elif e == "lbp":

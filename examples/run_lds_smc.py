@@ -30,8 +30,11 @@ def main():
     )
     if hasattr(res, "log_z"):
         print(f"log-Z estimate = {res.log_z:.3f}")
-        ess = np.asarray(res.diag["ess"])
-        print(f"min ESS across temperatures = {ess.min():.0f}")
+        used = int(np.asarray(res.diag["n_temps_used"]))
+        ess = np.asarray(res.diag["ess"])[:used]
+        print(f"min ESS across temperatures = {ess.min():.0f}  "
+              f"(temps used: {used}, final step "
+              f"{float(res.diag['final_step']):.3f})")
 
 
 if __name__ == "__main__":

@@ -21,6 +21,9 @@ class EngineConfig:
     vi_lr: float = 5e-2
     smc_particles: int = 4096
     smc_temps: int = 50
+    # CESS-targeted adaptive tempering + deadband step adaptation
+    # (smc_temps becomes the static cap; see engines/smc.py SMCConfig)
+    smc_adaptive: bool = False
     bp_iters: int = 30
     particles: int = 128
     seed: int = 0
