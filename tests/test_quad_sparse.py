@@ -112,3 +112,65 @@ def test_dense_rows_fall_back_to_buckets():
     assert len(fg.lp_bucket_idx) == len(fg.buckets)  # bucket path alive
     xc = jnp.asarray(rng.normal(0, 1, (n,)), jnp.float32)
     assert np.isfinite(float(fg.log_prob(xc, jnp.zeros((0,), jnp.int32))))
+
+
+def test_fuzz_ell_matches_dense():
+    """Randomized: sparse-forced and dense compiles of the same random
+    quadratic graph (mixed Gaussian/LinearGaussian/Quadratic/XY
+    potentials, random evidence, random sparse topology) agree on
+    batched energies and gradients."""
+    from lhvi_tpu import Domain, RV, F, Graph
+    from lhvi_tpu.potentials import (
+        GaussianPotential,
+        LinearGaussianPotential,
+        QuadraticPotential,
+        XYPotential,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        n = int(rng.integers(4, 16))
+        dom = Domain([-15, 15], continuous=True)
+        rvs = [RV(dom, name=f"x{i}") for i in range(n)]
+        fs = [F(GaussianPotential([0.0], [[float(rng.uniform(0.5, 3.0))]]),
+                [rv]) for rv in rvs]  # diagonal anchor keeps J SPD
+        n_edges = int(rng.integers(1, 2 * n))
+        for _ in range(n_edges):
+            i, j = rng.choice(n, size=2, replace=False)
+            kind = rng.integers(0, 4)
+            pair = [rvs[int(i)], rvs[int(j)]]
+            if kind == 0:
+                fs.append(F(XYPotential(coeff=float(rng.uniform(-0.3, 0.3)),
+                                        sig=1.0), pair))
+            elif kind == 1:
+                fs.append(F(LinearGaussianPotential(
+                    coeff=float(rng.uniform(-0.8, 0.8)),
+                    sig=float(rng.uniform(0.5, 2.0))), pair))
+            elif kind == 2:
+                A = rng.normal(0, 0.1, (2, 2))
+                fs.append(F(QuadraticPotential(
+                    A=-(A @ A.T) - 0.05 * np.eye(2),
+                    b=rng.normal(0, 0.3, 2), c=float(rng.normal())), pair))
+            else:
+                mu = rng.normal(0, 1, 2)
+                B = rng.normal(0, 0.3, (2, 2))
+                fs.append(F(GaussianPotential(mu, B @ B.T + np.eye(2)),
+                            pair))
+        # random evidence on a subset
+        n_obs = int(rng.integers(0, max(n // 3, 1)))
+        for i in rng.choice(n, size=n_obs, replace=False):
+            rvs[int(i)].value = float(rng.normal(0, 1))
+        g = Graph(rvs, fs)
+        fgd = compile_graph(g)
+        fgs = compile_graph(g, quad_max_n=2)
+        assert fgd.has_quad and not fgd.quad_sparse
+        assert fgs.quad_sparse, trial
+        xc = jnp.asarray(rng.normal(0, 1, (5, fgs.n_cont)), jnp.float32)
+        ld = fgd.quad_log_prob_batched(xc)
+        ls = fgs.quad_log_prob_batched(xc)
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(ld),
+                                   rtol=2e-4, atol=2e-3, err_msg=str(trial))
+        gd = jax.grad(lambda x: fgd.quad_log_prob_batched(x).sum())(xc)
+        gs = jax.grad(lambda x: fgs.quad_log_prob_batched(x).sum())(xc)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                                   rtol=2e-4, atol=2e-3, err_msg=str(trial))
