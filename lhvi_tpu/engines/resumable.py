@@ -113,26 +113,30 @@ def sample_checkpointed(
         raise ValueError(f"unknown engine {engine!r} (hmc|nuts)")
 
     n_chunks = math.ceil(n_samples / chunk_size)
+    half = n_samples // 2  # split point for the streamed split-R̂
     k_init, k_warm, k_samp = jax.random.split(key, 3)
 
-    def chunk_body(state, s1, s2, cnt, acc_sum, ckey, n: int):
-        def step(carry, k):
-            state, s1, s2, cnt, acc_sum = carry
+    def chunk_body(state, s1, s2, cnt, acc_sum, sd, ckey, t0, n: int):
+        def step(carry, inp):
+            k, t = inp
+            state, s1, s2, cnt, acc_sum, sd = carry
             state, acc = trans(state, k)
             s1 = s1 + jnp.sum(state.xc, axis=0)
             s2 = s2 + jnp.sum(state.xc * state.xc, axis=0)
             if fg.n_disc:
                 oh = jax.nn.one_hot(state.xd, fg.max_v, dtype=jnp.float32)
                 cnt = cnt + jnp.sum(oh, axis=0)
-            return (state, s1, s2, cnt, acc_sum + acc), None
+            sd = _hmc._stream_diag_update(sd, t, state.xc, half)
+            return (state, s1, s2, cnt, acc_sum + acc, sd), None
 
         keys = jax.random.split(ckey, n)
-        (state, s1, s2, cnt, acc_sum), _ = jax.lax.scan(
-            step, (state, s1, s2, cnt, acc_sum), keys
+        ts = t0 + jnp.arange(n, dtype=jnp.int32)
+        (state, s1, s2, cnt, acc_sum, sd), _ = jax.lax.scan(
+            step, (state, s1, s2, cnt, acc_sum, sd), (keys, ts)
         )
-        return state, s1, s2, cnt, acc_sum
+        return state, s1, s2, cnt, acc_sum, sd
 
-    chunk_jit = jax.jit(chunk_body, static_argnums=6)
+    chunk_jit = jax.jit(chunk_body, static_argnums=8)
 
     mgr = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep)
     latest = mgr.latest_step()
@@ -158,6 +162,10 @@ def sample_checkpointed(
             jnp.zeros(fg.n_cont),
             jnp.zeros((max(fg.n_disc, 1), fg.max_v)),
             jnp.zeros(()),
+            # streamed split-R̂/ESS accumulators (8 × [C, n_cont]) ride
+            # the same checkpoint payload, so convergence evidence
+            # survives preemption too
+            *_hmc._stream_diag_init(n_chains, fg.n_cont),
         )
         chunks_done = 0
         mgr.save(0, _payload_to_host(state, sums, 0, n_chains), wait=True)
@@ -184,7 +192,7 @@ def sample_checkpointed(
             )
         sum_shapes = (
             (fg.n_cont,), (fg.n_cont,), (max(fg.n_disc, 1), fg.max_v), (),
-        )
+        ) + ((n_chains, fg.n_cont),) * 8
         saved_sums = payload["sums"]
         sums = tuple(
             jnp.asarray(saved_sums[str(i)]) if str(i) in saved_sums
@@ -196,8 +204,11 @@ def sample_checkpointed(
     for c in range(chunks_done, n_chunks):
         n = min(chunk_size, n_samples - c * chunk_size)
         ckey = jax.random.fold_in(k_samp, c)
-        state, *sums = chunk_jit(state, *sums, ckey, n)
-        sums = tuple(sums)
+        t0 = jnp.asarray(c * chunk_size, jnp.int32)
+        out = chunk_jit(state, *sums[:4], _hmc._StreamDiag(*sums[4:]),
+                        ckey, t0, n)
+        state = out[0]
+        sums = tuple(out[1:5]) + tuple(out[5])
         mgr.save(c + 1, _payload_to_host(state, sums, c + 1, n_chains),
                  wait=True)
         if _interrupt_after is not None and (c + 1) >= _interrupt_after:
@@ -205,7 +216,8 @@ def sample_checkpointed(
             return None
     mgr.close()
 
-    s1, s2, cnt, acc_sum = sums
+    s1, s2, cnt, acc_sum = sums[:4]
+    sd = _hmc._StreamDiag(*sums[4:])
     n_obs = n_samples * n_chains
     mean = s1 / n_obs
     var = jnp.maximum(s2 / n_obs - mean**2, 0.0)
@@ -219,5 +231,6 @@ def sample_checkpointed(
         "accept_rate": acc_sum / n_samples,
         "step_size": jnp.exp(state.log_eps),
         "inv_mass": state.inv_mass,
+        **_hmc._stream_diag_finalize(sd, n_samples),
     }
     return _hmc.HMCMoments(fg, moments, diag)

@@ -32,6 +32,10 @@ def test_resume_bitwise_identical(tmp_path):
         assert np.array_equal(full.moments[k], resumed.moments[k]), k
     assert np.array_equal(full.diag["accept_rate"],
                           resumed.diag["accept_rate"])
+    # streamed convergence accumulators survive the preemption bitwise too
+    assert np.array_equal(full.diag["rhat"], resumed.diag["rhat"])
+    assert np.isfinite(resumed.diag["rhat"]).all()
+    assert np.array_equal(full.diag["ess_proxy"], resumed.diag["ess_proxy"])
 
     # and the answers are actually right
     exact = ExactPosterior(g, cont_grid=161)
