@@ -494,6 +494,7 @@ def compile_graph(
     disc_counts: np.ndarray = None,
     fuse_quadratic: bool = True,
     quad_max_n: int = 4096,
+    ell_max_deg: int = 128,
     gibbs_plan: bool = True,
 ) -> CompiledFG:
     """Compile a host ``Graph`` into the array IR.
@@ -733,7 +734,7 @@ def compile_graph(
     J = None
     if has_quad and n_cont > quad_max_n:
         ell = accumulate_information_ell(
-            fused_factors, meta, n_cont, scales=scales
+            fused_factors, meta, n_cont, scales=scales, max_deg=ell_max_deg
         )
         if ell is None:
             # densely coupled rows: ELL would be O(n²) — un-fuse and let
