@@ -29,6 +29,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -177,9 +178,18 @@ def _nuts_sweep_batched(fg, key, xc, xd, eps, inv_mass, max_depth: int,
     if (use_pallas and fg.cont_pure_quad and not fg.quad_sparse
             and jax.default_backend() == "tpu"):
         from lhvi_tpu.ops.nuts_traj import nuts_trajectory
+        from lhvi_tpu.parallel.mesh import chain_axes
 
-        return nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth,
-                               shard=shard)
+        axes = chain_axes(shard) if shard is not None else ()
+        n_shards = (int(np.prod([shard.mesh.shape[a] for a in axes]))
+                    if axes else 1)
+        if xc.shape[0] % n_shards == 0:
+            return nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth,
+                                   shard=shard)
+        # uneven chain split: a bare pallas_call under GSPMD would gather
+        # the full [C, n] state onto one device every transition — the
+        # well-partitioned XLA sweep below is strictly better here
+        # (pad n_chains to a device-count multiple to get the kernel)
     C, n = xc.shape
     grad_lp = _make_grad_lp(fg, xd)
     std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
