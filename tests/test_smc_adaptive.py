@@ -127,3 +127,21 @@ def test_fixed_grid_diag_shape_compat():
     assert np.isfinite(float(lz))
     assert int(diag["n_temps_used"]) == 10
     assert np.asarray(diag["betas"]).shape == (10,)
+
+
+def test_adaptive_sharded_particle_axis():
+    """Adaptive tempering under a sharded particle axis: the CESS
+    bisection's logsumexps reduce over the mesh (psums inserted by XLA)
+    and the run agrees with the unsharded one statistically."""
+    from lhvi_tpu.parallel import chain_sharding, make_mesh
+
+    g, xs, ys = kalman_lds(T=8, seed=2)
+    fg = compile_graph(g)
+    sh = chain_sharding(make_mesh(axis_names=("dp",)))
+    cfg = smc.SMCConfig(n_particles=2048, n_temps=30, n_moves=2,
+                        adaptive=True)
+    *_, lz0, d0 = smc.run_smc(fg, jax.random.PRNGKey(0), cfg)
+    *_, lz1, d1 = smc.run_smc(fg, jax.random.PRNGKey(0), cfg, shard=sh)
+    assert np.isfinite(float(lz1))
+    assert abs(float(lz0) - float(lz1)) < 0.5, (float(lz0), float(lz1))
+    assert int(d1["n_temps_used"]) < 30
