@@ -46,10 +46,8 @@ def run_engine(fg, cfg, key):
         mod = nuts if e == "nuts" else hmc
         kw = dict(
             n_chains=cfg.n_chains, n_warmup=cfg.n_warmup,
-            n_samples=cfg.n_samples,
+            n_samples=cfg.n_samples, collect=cfg.collect,
         )
-        if e == "hmc":
-            kw["collect"] = cfg.collect
         res = mod.sample(fg, key, **kw)
     elif e == "vi":
         res = vi.infer(
