@@ -105,3 +105,20 @@ def test_gibbs_unroll_invalid_is_clamped():
 def test_nuts_gibbs_unroll_passthrough():
     cfg = nuts.NUTSConfig(gibbs_unroll=4)
     assert cfg.to_hmc().gibbs_unroll == 4
+
+
+def test_streamed_rhat_with_thinning():
+    """thin>1 streams inside the scan step; the streamed R̂ must match the
+    materialized samples of the same thinned run."""
+    g, _ = hybrid_chain()
+    fg = compile_graph(g)
+    cfg = hmc.HMCConfig(n_leapfrog=4, init_step_size=0.3)
+    key = jax.random.PRNGKey(11)
+    kw = dict(n_chains=6, n_warmup=60, n_samples=80, thin=3)
+
+    s_xc, _, _ = hmc.run_hmc(fg, key, cfg, collect="samples", **kw)
+    _, _, diag = hmc.run_hmc(fg, key, cfg, collect="moments", **kw)
+    np.testing.assert_allclose(
+        np.asarray(diag["rhat"]), np.asarray(split_rhat(s_xc)),
+        rtol=2e-4, atol=2e-4,
+    )
