@@ -211,14 +211,40 @@ def main():
             eff = sps_full / (sps_1 * n_dev)
             log.log("scaling", devices=n_dev, efficiency=round(eff, 3))
 
-    # ---- checkpoint demo --------------------------------------------------
-    if cfg.checkpoint_dir and vi_params_host is not None:
-        from lhvi_tpu.utils.checkpoint import CheckpointManager
+    # ---- production run: checkpointed chunks + full-run convergence ------
+    # chunked dispatches keep each device execution short (this worker
+    # kills >~10 s executions), the orbax payload makes the run
+    # preemption-safe, and the streamed split-R̂/ESS accumulate across
+    # chunks — so convergence evidence covers ALL draws, unlike the
+    # per-dispatch diag of the throughput probes above (chunk=1 → NaN R̂).
+    if cfg.checkpoint_dir:
+        from lhvi_tpu.engines.resumable import sample_checkpointed
 
-        mgr = CheckpointManager(cfg.checkpoint_dir)
-        mgr.save(0, {"vi_params": vi_params_host}, wait=True)
-        log.log("checkpoint", step=0, path=cfg.checkpoint_dir)
-        mgr.close()
+        t0 = time.perf_counter()
+        res = sample_checkpointed(
+            fg, jax.random.PRNGKey(cfg.seed + 1), cfg=hcfg, engine="hmc",
+            n_chains=cfg.n_chains, n_warmup=cfg.n_warmup,
+            n_samples=cfg.n_samples, chunk_size=args.chunk,
+            ckpt_dir=cfg.checkpoint_dir + "/hmc", shard=shard_full,
+        )
+        rhat = np.asarray(res.diag["rhat"])
+        log.log(
+            "production_run",
+            n_samples=cfg.n_samples, chunk=args.chunk,
+            wall_s=round(time.perf_counter() - t0, 2),
+            accept=round(float(res.diag["accept_rate"]), 3),
+            rhat_max=(round(float(np.nanmax(rhat)), 4) if rhat.size
+                      else None),
+            ess_proxy_min=(round(float(np.nanmin(np.asarray(
+                res.diag["ess_proxy"]))), 1) if rhat.size else None),
+        )
+        if vi_params_host is not None:
+            from lhvi_tpu.utils.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(cfg.checkpoint_dir + "/vi")
+            mgr.save(0, {"vi_params": vi_params_host}, wait=True)
+            log.log("checkpoint", step=0, path=cfg.checkpoint_dir)
+            mgr.close()
 
     log.close()
 
