@@ -303,7 +303,36 @@ def pod_gibbs_throughput(n_people=320, n_chains=128):
     return n_chains * chunk / dt
 
 
+def _probe_devices(timeout_s: int = 300) -> bool:
+    """True if the TPU backend answers within timeout_s.
+
+    The tunneled TPU worker can wedge so hard that ``jax.devices()``
+    blocks FOREVER (observed round 4: >4 h). Probe in a child process so
+    a dead tunnel yields an honest JSON line instead of a hung driver.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_devices():
+        print(json.dumps({
+            "metric": "hmc_grid10x10_samples_per_s_per_chip",
+            "value": None,
+            "unit": "samples/s/chip",
+            "vs_baseline": None,
+            "error": "TPU backend unreachable (device probe timed out)",
+        }))
+        return
+
     import jax
 
     g = build_model()
