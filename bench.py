@@ -271,6 +271,34 @@ def nuts_robot_throughput(n_segments=100, n_chains=16384):
     return n_chains * n_samples / dt
 
 
+def hmc_sparse_grid_throughput(rows=128, cols=128, n_chains=1024):
+    """HMC on the 128×128 Gaussian grid (16k vars, past quad_max_n):
+    guards the ELL sparse fused path — unrolled gather·FMA matvec +
+    position-Verlet leapfrog (8.3× the unfused bucket path, docs/PERF.md
+    round 4)."""
+    import jax
+    from lhvi_tpu import compile_graph
+    from lhvi_tpu.engines import hmc
+    from lhvi_tpu.models.toy import gaussian_grid
+
+    g, _ = gaussian_grid(rows=rows, cols=cols, seed=0, evidence_frac=0.2)
+    fg = compile_graph(g)
+    assert fg.quad_sparse, "128x128 grid must land on the ELL path"
+    cfg = hmc.HMCConfig(n_leapfrog=N_LEAPFROG, init_step_size=0.05)
+    n_samples = 20
+
+    def run(rep):
+        moments, _, _ = hmc.run_hmc(
+            fg, jax.random.PRNGKey(rep), cfg,
+            n_chains=n_chains, n_warmup=0, n_samples=n_samples,
+            collect="moments",
+        )
+        return moments
+
+    dt = _timed(run, lambda out: float(out["mean"][0]))
+    return n_chains * n_samples / dt
+
+
 def pod_gibbs_throughput(n_people=320, n_chains=128):
     """Pod-scale flagship (BASELINE config 5): full exact chromatic
     Gibbs sweep over ~1e5 discrete latents + HMC step, chain-samples/s
@@ -353,6 +381,7 @@ def main():
         ("vi_lifted_steps_per_s", vi_lifted_throughput),
         ("hmc_nonquad_robot_samples_per_s", hmc_robot_throughput),
         ("nuts_nonquad_robot_samples_per_s", nuts_robot_throughput),
+        ("hmc_sparse_grid128_samples_per_s", hmc_sparse_grid_throughput),
         ("pod_gibbs_chain_samples_per_s", pod_gibbs_throughput),
         # scale sweep of the 1M-latent path (optional fields; LAST — the
         # long XLA compiles are the riskiest phases on this worker and a

@@ -391,22 +391,29 @@ def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
     k_mom, k_acc = jax.random.split(key)
     std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
     p0 = std[None, :] * jax.random.normal(k_mom, xc.shape)
+    ke = lambda p: 0.5 * jnp.sum(inv_mass[None, :] * p * p, axis=-1)
     if fg.quad_sparse:
         # ELL fused path (n_cont beyond the dense cap): pure-XLA batched
         # leapfrog on the gather·multiply·sum matvec — GSPMD partitions
-        # it natively on a sharded chain axis (no shard_map needed)
-        x1, p1 = ell_quad_leapfrog(
+        # it natively on a sharded chain axis (no shard_map needed). The
+        # endpoint gradients come back free: lp = c + ½·x·(h + g), so
+        # the accept step costs no extra matvecs.
+        x1, p1, g0, g1 = ell_quad_leapfrog(
             xc, p0, fg.quad_diag, fg.quad_ell_col, fg.quad_ell_w,
             fg.quad_h, inv_mass, eps, cfg.n_leapfrog,
         )
+        hq = fg.quad_h[None, :]
+        lp0 = fg.quad_c + 0.5 * jnp.sum(xc * (hq + g0), axis=-1)
+        lp1 = fg.quad_c + 0.5 * jnp.sum(x1 * (hq + g1), axis=-1)
+        h0 = -lp0 + ke(p0)
+        h1 = -lp1 + ke(p1)
     else:
         x1, p1 = quad_leapfrog(
             xc, p0, fg.quad_J, fg.quad_h, inv_mass, eps, cfg.n_leapfrog,
             shard=cfg.shard,
         )
-    ke = lambda p: 0.5 * jnp.sum(inv_mass[None, :] * p * p, axis=-1)
-    h0 = -fg.quad_log_prob_batched(xc) + ke(p0)
-    h1 = -fg.quad_log_prob_batched(x1) + ke(p1)
+        h0 = -fg.quad_log_prob_batched(xc) + ke(p0)
+        h1 = -fg.quad_log_prob_batched(x1) + ke(p1)
     log_acc = jnp.minimum(0.0, h0 - h1)
     log_acc = jnp.where(jnp.isfinite(log_acc), log_acc, -jnp.inf)
     accept = jnp.log(jax.random.uniform(k_acc, (C,))) < log_acc
