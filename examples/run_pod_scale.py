@@ -228,15 +228,21 @@ def main():
             ckpt_dir=cfg.checkpoint_dir + "/hmc", shard=shard_full,
         )
         rhat = np.asarray(res.diag["rhat"])
+        ess = np.asarray(res.diag["ess_proxy"])
+        # n_samples < 4 → all-NaN R̂ (the split needs ≥2 draws per half):
+        # guard finiteness, not just size, so smoke runs don't feed NaN
+        # into np.nanmax / the JSONL line
+        has_rhat = rhat.size and bool(np.isfinite(rhat).any())
         log.log(
             "production_run",
             n_samples=cfg.n_samples, chunk=args.chunk,
             wall_s=round(time.perf_counter() - t0, 2),
             accept=round(float(res.diag["accept_rate"]), 3),
-            rhat_max=(round(float(np.nanmax(rhat)), 4) if rhat.size
+            rhat_max=(round(float(np.nanmax(rhat)), 4) if has_rhat
                       else None),
-            ess_proxy_min=(round(float(np.nanmin(np.asarray(
-                res.diag["ess_proxy"]))), 1) if rhat.size else None),
+            ess_proxy_min=(round(float(np.nanmin(ess)), 1)
+                           if has_rhat and np.isfinite(ess).any()
+                           else None),
         )
         if vi_params_host is not None:
             from lhvi_tpu.utils.checkpoint import CheckpointManager

@@ -178,11 +178,9 @@ def _nuts_sweep_batched(fg, key, xc, xd, eps, inv_mass, max_depth: int,
     if (use_pallas and fg.cont_pure_quad and not fg.quad_sparse
             and jax.default_backend() == "tpu"):
         from lhvi_tpu.ops.nuts_traj import nuts_trajectory
-        from lhvi_tpu.parallel.mesh import chain_axes
+        from lhvi_tpu.parallel.mesh import n_chain_shards
 
-        axes = chain_axes(shard) if shard is not None else ()
-        n_shards = (int(np.prod([shard.mesh.shape[a] for a in axes]))
-                    if axes else 1)
+        n_shards = n_chain_shards(shard) if shard is not None else 1
         if xc.shape[0] % n_shards == 0:
             return nuts_trajectory(fg, key, xc, eps, inv_mass, max_depth,
                                    shard=shard)

@@ -48,7 +48,8 @@ def _to_host(v):
     return jax.device_get(v)
 
 
-def _payload_to_host(state, sums, chunks_done: int, n_chains: int):
+def _payload_to_host(state, sums, chunks_done: int, n_chains: int,
+                     warmup_done: int):
     # orbax refuses zero-size arrays (e.g. inv_mass on n_cont==0 models):
     # omit them on save; restore rebuilds them from the shape template.
     sd = {k: _to_host(v) for k, v in state._asdict().items() if v.size}
@@ -57,6 +58,7 @@ def _payload_to_host(state, sums, chunks_done: int, n_chains: int):
         "sums": {str(i): _to_host(v) for i, v in enumerate(sums) if v.size},
         "chunks_done": chunks_done,
         "n_chains": n_chains,
+        "warmup_done": warmup_done,
     }
 
 
@@ -74,11 +76,19 @@ def sample_checkpointed(
     shard=None,
     max_to_keep: int = 3,
     _interrupt_after: Optional[int] = None,
+    _interrupt_warmup_after: Optional[int] = None,
 ):
     """Run (or resume) a chunked sampling job; returns ``HMCMoments``.
 
-    ``_interrupt_after=k`` stops after persisting chunk k (returns None) —
-    the fault-injection hook the resume test uses to simulate preemption.
+    Warmup is chunk-dispatched and checkpointed exactly like sampling:
+    no single device execution exceeds ``chunk_size`` transitions (this
+    environment kills >~10 s executions at pod scale), and a run
+    preempted mid-warmup resumes from its last warmup chunk.
+
+    ``_interrupt_after=k`` stops after persisting sample chunk k (returns
+    None); ``_interrupt_warmup_after=k`` stops after persisting warmup
+    chunk k — the fault-injection hooks the resume tests use to simulate
+    preemption.
     """
     from lhvi_tpu.utils.checkpoint import CheckpointManager
 
@@ -138,26 +148,23 @@ def sample_checkpointed(
 
     chunk_jit = jax.jit(chunk_body, static_argnums=8)
 
-    mgr = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep)
-    latest = mgr.latest_step()
-    if latest is None:
-        @jax.jit
-        def start():
-            state = _hmc.init_hmc_state(fg, k_init, hcfg, n_chains, shard)
-            state = _hmc.run_warmup(
-                fg, hcfg, state, k_warm, n_warmup,
-                lambda s, k, adapt: trans_adapt(s, k),
-            )
-            return state
+    def trans_adapt(s, k):
+        if engine == "hmc":
+            return _hmc.hmc_transition(fg, cfg, s, k, True)
+        s2, (acc, _, _) = _nuts.nuts_transition(fg, cfg, s, k, True)
+        return s2, acc
 
-        def trans_adapt(s, k):
-            if engine == "hmc":
-                return _hmc.hmc_transition(fg, cfg, s, k, True)
-            s2, (acc, _, _) = _nuts.nuts_transition(fg, cfg, s, k, True)
-            return s2, acc
+    def warm_chunk(state, keys):
+        def step(s, k):
+            s, _ = trans_adapt(s, k)
+            return s, None
+        state, _ = jax.lax.scan(step, state, keys)
+        return state
 
-        state = start()
-        sums = (
+    warm_chunk_jit = jax.jit(warm_chunk)
+
+    def fresh_sums():
+        return (
             jnp.zeros(fg.n_cont),
             jnp.zeros(fg.n_cont),
             jnp.zeros((max(fg.n_disc, 1), fg.max_v)),
@@ -167,8 +174,17 @@ def sample_checkpointed(
             # survives preemption too
             *_hmc._stream_diag_init(n_chains, fg.n_cont),
         )
+
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep)
+    latest = mgr.latest_step()
+    if latest is None:
+        state = jax.jit(
+            lambda k: _hmc.init_hmc_state(fg, k, hcfg, n_chains, shard)
+        )(k_init)
+        sums = fresh_sums()
+        warmup_done = 0
         chunks_done = 0
-        mgr.save(0, _payload_to_host(state, sums, 0, n_chains), wait=True)
+        next_step = 0
     else:
         payload = mgr.restore(latest)
         if payload["n_chains"] != n_chains:
@@ -180,9 +196,26 @@ def sample_checkpointed(
             lambda k: _hmc.init_hmc_state(fg, k, hcfg, n_chains), k_init
         )
         saved = payload["state"]
+
+        def _restore(name, saved_map, shape, dtype=None):
+            # zero-SIZE entries are legitimately omitted on save (orbax
+            # refuses them); a missing non-empty entry means the
+            # checkpoint was written by an incompatible code version —
+            # zero-filling it would finalize confidently-wrong moments
+            # or R̂, so fail loudly instead.
+            if name in saved_map:
+                return jnp.asarray(saved_map[name])
+            if int(np.prod(shape)) == 0:
+                return jnp.zeros(shape, dtype)
+            raise ValueError(
+                f"checkpoint at {ckpt_dir!r} lacks accumulator {name!r} "
+                f"(shape {shape}): it was written by an incompatible "
+                "lhvi_tpu version. Finalize it with the version that "
+                "wrote it, or restart the run."
+            )
+
         state = _hmc.HMCState(**{
-            k: (jnp.asarray(saved[k]) if k in saved
-                else jnp.zeros(t.shape, t.dtype))
+            k: _restore(k, saved, t.shape, t.dtype)
             for k, t in tmpl._asdict().items()
         })
         if shard is not None:
@@ -193,13 +226,59 @@ def sample_checkpointed(
         sum_shapes = (
             (fg.n_cont,), (fg.n_cont,), (max(fg.n_disc, 1), fg.max_v), (),
         ) + ((n_chains, fg.n_cont),) * 8
-        saved_sums = payload["sums"]
         sums = tuple(
-            jnp.asarray(saved_sums[str(i)]) if str(i) in saved_sums
-            else jnp.zeros(sh)
+            _restore(str(i), payload["sums"], sh)
             for i, sh in enumerate(sum_shapes)
         )
         chunks_done = int(payload["chunks_done"])
+        # pre-warmup-chunking checkpoints only exist post-warmup
+        warmup_done = int(payload.get("warmup_done", n_warmup))
+        next_step = latest + 1
+
+    # --- warmup, chunk-dispatched + checkpointed --------------------------
+    # Same two-phase structure (and the same key derivation) as
+    # hmc.run_warmup: phase 1 = first half of the transitions, then a mass
+    # refresh + dual-averaging reset, phase 2 = the rest, then a final
+    # refresh and eps̄ freeze. Keys are pre-split per phase and SLICED per
+    # chunk, so an interrupted+resumed warmup is bitwise-identical to an
+    # uninterrupted one.
+    half_w = max(n_warmup // 2, 1) if n_warmup > 0 else 0
+    w_chunks_saved = 0
+    while warmup_done < n_warmup:
+        if warmup_done < half_w:
+            pos, pend = warmup_done, half_w
+            pkeys = jax.random.split(k_warm, half_w)
+        else:
+            pos, pend = warmup_done - half_w, n_warmup - half_w
+            pkeys = jax.random.split(jax.random.fold_in(k_warm, 1),
+                                     n_warmup - half_w)
+        n = min(chunk_size, pend - pos)
+        state = warm_chunk_jit(state, pkeys[pos:pos + n])
+        warmup_done += n
+        if warmup_done == half_w:
+            state = _hmc._mass_refresh(fg, hcfg, state)
+            state = state._replace(
+                h_bar=jnp.zeros(()), t=jnp.zeros(()),
+                welford_mean=jnp.zeros(fg.n_cont),
+                welford_m2=jnp.zeros(fg.n_cont),
+                welford_n=jnp.zeros(()),
+            )
+        if warmup_done == n_warmup:
+            state = _hmc._mass_refresh(fg, hcfg, state)
+            state = state._replace(log_eps=state.log_eps_bar)
+        mgr.save(next_step,
+                 _payload_to_host(state, sums, 0, n_chains, warmup_done),
+                 wait=True)
+        next_step += 1
+        w_chunks_saved += 1
+        if (_interrupt_warmup_after is not None
+                and w_chunks_saved >= _interrupt_warmup_after):
+            mgr.close()
+            return None
+    if n_warmup == 0 and latest is None:
+        mgr.save(next_step, _payload_to_host(state, sums, 0, n_chains, 0),
+                 wait=True)
+        next_step += 1
 
     for c in range(chunks_done, n_chunks):
         n = min(chunk_size, n_samples - c * chunk_size)
@@ -209,8 +288,10 @@ def sample_checkpointed(
                         ckey, t0, n)
         state = out[0]
         sums = tuple(out[1:5]) + tuple(out[5])
-        mgr.save(c + 1, _payload_to_host(state, sums, c + 1, n_chains),
+        mgr.save(next_step,
+                 _payload_to_host(state, sums, c + 1, n_chains, n_warmup),
                  wait=True)
+        next_step += 1
         if _interrupt_after is not None and (c + 1) >= _interrupt_after:
             mgr.close()
             return None

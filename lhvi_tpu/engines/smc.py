@@ -106,13 +106,6 @@ def systematic_resample(key: Array, log_w: Array, n: int) -> Array:
     )
 
 
-def _log_ess(lw: Array) -> Array:
-    """log ESS of (unnormalized) log-weights: 2·lse(lw) − lse(2·lw)."""
-    from jax.scipy.special import logsumexp
-
-    return 2.0 * logsumexp(lw) - logsumexp(2.0 * lw)
-
-
 def _choose_beta(log_w: Array, delta_lp: Array, beta: Array,
                  target_log_cess: Array, n_iters: int = 26) -> Array:
     """Largest β′ ∈ (β, 1] whose CONDITIONAL ESS ≥ the target (bisection).

@@ -315,21 +315,13 @@ class CompiledFG:
     def quad_matvec_batched(self, xc: Array) -> Array:
         """``J @ x`` rows for a batch: [C, n] → [C, n] (ELL form).
 
-        For small static D the neighbor sum is unrolled into D separate
-        gather·FMA ops: XLA fuses each into the accumulation, whereas the
-        one-shot ``sum(w * x[:, col], -1)`` materializes the [C, n, D]
-        gather product in HBM — measured 2.1× slower inside the leapfrog
-        at 128×128-grid scale (docs/PERF.md round 4).
-        """
-        y = xc * self.quad_diag[None]
-        D = self.quad_ell_col.shape[1]
-        if D <= 16:
-            for d in range(D):
-                y = y + (self.quad_ell_w[None, :, d]
-                         * xc[:, self.quad_ell_col[:, d]])
-            return y
-        return y + jnp.sum(self.quad_ell_w[None] * xc[:, self.quad_ell_col],
-                           -1)
+        Delegates to ``ops.leapfrog.ell_matvec`` — the single codegen
+        point for the sparse matvec (unrolled gather·FMA; see its
+        docstring)."""
+        from lhvi_tpu.ops.leapfrog import ell_matvec
+
+        return ell_matvec(xc, self.quad_diag, self.quad_ell_col,
+                          self.quad_ell_w)
 
     def quad_log_prob_batched(self, xc: Array) -> Array:
         """Batched continuous energy of the fused form: [C, n] → [C]."""

@@ -157,6 +157,26 @@ def quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps: int, shard=None):
     return _pallas_quad_leapfrog(x, p, J, h, inv_mass, eps, n_steps)
 
 
+def ell_matvec(x, diag, col, w):
+    """``J @ x`` for a batch in ELL form: x [C, n] → [C, n].
+
+    THE single codegen point for the sparse matvec (HMC leapfrog here;
+    NUTS gradients / VI / log-prob via ``CompiledFG.quad_matvec_batched``,
+    which delegates). For small static D the neighbor sum unrolls into D
+    gather·FMA ops that XLA fuses into the accumulation — the one-shot
+    ``sum(w * x[:, col], -1)`` materializes [C, n, D] in HBM, measured
+    2.1× slower inside the leapfrog at 128×128-grid scale (docs/PERF.md
+    round 4).
+    """
+    y = x * diag[None]
+    D = col.shape[1]
+    if D <= 16:
+        for d in range(D):
+            y = y + w[None, :, d] * x[:, col[:, d]]
+        return y
+    return y + jnp.sum(w[None] * x[:, col], axis=-1)
+
+
 def ell_quad_leapfrog(x, p, diag, col, w, h, inv_mass, eps, n_steps: int):
     """Batched leapfrog on a SPARSE (ELL) quadratic target.
 
@@ -166,24 +186,16 @@ def ell_quad_leapfrog(x, p, diag, col, w, h, inv_mass, eps, n_steps: int):
     and let the caller form both Hamiltonians without extra matvecs
     (lp = c + ½·x·(h + g)).
 
-    ∇log p = h − J x. For small static D the neighbor sum unrolls into D
-    gather·FMA ops that XLA fuses into the accumulation (the one-shot
-    ``sum(w * x[:, col], -1)`` materializes [C, n, D] in HBM — measured
-    2.1× slower at 128×128-grid scale). Written position-Verlet so the
-    loop body has ONE kick: n_steps costs n_steps+1 matvecs, and the
+    ∇log p = h − J x via ``ell_matvec`` (see its docstring for the
+    unrolled gather·FMA codegen rationale). Written position-Verlet so
+    the loop body has ONE kick: n_steps costs n_steps+1 matvecs, and the
     momentum round-trips HBM once per step instead of twice. No matmul
     for a Pallas kernel to win back, so this stays pure XLA (and GSPMD-
     partitions natively on a sharded chain axis).
     """
-    D = col.shape[1]
 
     def matvec(x):
-        y = x * diag[None]
-        if D <= 16:
-            for d in range(D):
-                y = y + w[None, :, d] * x[:, col[:, d]]
-            return y
-        return y + jnp.sum(w[None] * x[:, col], axis=-1)
+        return ell_matvec(x, diag, col, w)
 
     g0 = h[None] - matvec(x)
     m = p + 0.5 * eps * g0

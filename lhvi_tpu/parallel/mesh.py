@@ -64,6 +64,17 @@ def chain_axes(shard: NamedSharding):
     return ax if isinstance(ax, tuple) else (ax,)
 
 
+def n_chain_shards(shard: NamedSharding) -> int:
+    """How many ways a chain-axis sharding partitions its leading axis
+    (1 for None/replicated). THE divisibility authority: every site that
+    asks "does this chain count split evenly over the mesh?" must use
+    this so kernel-eligibility checks and the shard_map fallback agree."""
+    axes = chain_axes(shard)
+    if not axes:
+        return 1
+    return int(np.prod([shard.mesh.shape[a] for a in axes]))
+
+
 def shard_map_chains(fn, shard: NamedSharding, n_sharded_args: int,
                      fallback=None):
     """Wrap ``fn`` in ``shard_map`` over the chain axis of ``shard``.
@@ -84,7 +95,7 @@ def shard_map_chains(fn, shard: NamedSharding, n_sharded_args: int,
     if not axes:
         return fallback if fallback is not None else fn
     spec = P(axes if len(axes) > 1 else axes[0])
-    n_shards = int(np.prod([shard.mesh.shape[a] for a in axes]))
+    n_shards = n_chain_shards(shard)
 
     def wrapper(*args):
         if args[0].shape[0] % n_shards != 0:
