@@ -174,3 +174,29 @@ def test_fuzz_ell_matches_dense():
         gs = jax.grad(lambda x: fgs.quad_log_prob_batched(x).sum())(xc)
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
                                    rtol=2e-4, atol=2e-3, err_msg=str(trial))
+
+
+def test_ell_matvec_codegen_paths_agree():
+    """ell_matvec has two codegen paths (unrolled gather·FMA for D ≤ 16,
+    one-shot gather·sum above — the perf-critical split, docs/PERF.md
+    round 4): both must equal the dense J@x on random ELL tables."""
+    from lhvi_tpu.ops.leapfrog import ell_matvec
+
+    rng = np.random.default_rng(3)
+    for D in (1, 4, 16, 17, 24):
+        n, C = 40, 6
+        col = rng.integers(0, n, (n, D))
+        w = rng.normal(0, 1, (n, D))
+        diag = rng.uniform(1, 2, n)
+        # duplicate columns within a row are summed by the dense reference
+        J = np.zeros((n, n))
+        np.fill_diagonal(J, diag)
+        for i in range(n):
+            for d in range(D):
+                J[i, col[i, d]] += w[i, d]
+        x = rng.normal(0, 1, (C, n))
+        got = np.asarray(ell_matvec(
+            jnp.asarray(x, jnp.float32), jnp.asarray(diag, jnp.float32),
+            jnp.asarray(col, jnp.int32), jnp.asarray(w, jnp.float32)))
+        np.testing.assert_allclose(got, x @ J.T, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"D={D}")
