@@ -103,7 +103,7 @@ def tpu_throughput(g):
         moments, _, diag = hmc.run_hmc(
             fg, key, cfg,
             n_chains=N_CHAINS, n_warmup=0, n_samples=n_samples,
-            collect="moments",
+            collect="moments", stream_diag=False,
         )
         return moments, diag
 
@@ -146,7 +146,7 @@ def nuts_throughput(g):
         moments, _, diag = nuts.run_nuts(
             fg, jax.random.PRNGKey(rep), cfg,
             n_chains=N_CHAINS, n_warmup=0, n_samples=n_samples,
-            collect="moments",
+            collect="moments", stream_diag=False,
         )
         return moments
 
@@ -233,7 +233,7 @@ def hmc_robot_throughput(n_segments=100, n_chains=16384):
         moments, _, _ = hmc.run_hmc(
             fg, jax.random.PRNGKey(rep), cfg,
             n_chains=n_chains, n_warmup=0, n_samples=n_samples,
-            collect="moments",
+            collect="moments", stream_diag=False,
         )
         return moments
 
@@ -263,7 +263,7 @@ def nuts_robot_throughput(n_segments=100, n_chains=16384):
         moments, _, _ = nuts.run_nuts(
             fg, jax.random.PRNGKey(rep), cfg,
             n_chains=n_chains, n_warmup=0, n_samples=n_samples,
-            collect="moments",
+            collect="moments", stream_diag=False,
         )
         return moments
 
@@ -291,7 +291,7 @@ def hmc_sparse_grid_throughput(rows=128, cols=128, n_chains=1024):
         moments, _, _ = hmc.run_hmc(
             fg, jax.random.PRNGKey(rep), cfg,
             n_chains=n_chains, n_warmup=0, n_samples=n_samples,
-            collect="moments",
+            collect="moments", stream_diag=False,
         )
         return moments
 
@@ -323,7 +323,7 @@ def pod_gibbs_throughput(n_people=320, n_chains=128):
         moments, _, _ = hmc.run_hmc(
             fg, jax.random.PRNGKey(rep), cfg,
             n_chains=n_chains, n_warmup=0, n_samples=chunk,
-            collect="moments",
+            collect="moments", stream_diag=False,
         )
         return moments
 

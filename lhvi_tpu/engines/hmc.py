@@ -275,22 +275,25 @@ class _StreamDiag(NamedTuple):
     available exactly where runs are too big to materialize samples).
 
     Carries two per-chain Welford pairs (first/second half of the draw
-    window — the two "split" chains of split-R̂), one full-run pair, and a
-    lag-1 cross-product for an AR(1) ESS proxy. All [C, n_cont]."""
+    window — the two "split" chains of split-R̂) and a lag-1 cross-product
+    for an AR(1) ESS proxy. All [C, n_cont]. Full-window moments are
+    derived at finalize by Chan-merging the two halves, and each step
+    updates ONE half's pair (``lax.cond`` on the scalar draw index) — the
+    streamed-diag HBM traffic per draw is 5 [C, n] round-trips, not the
+    17 of the naive 8-accumulator formulation (measured 36% of headline
+    HMC throughput at 65k chains; docs/PERF.md round 4)."""
 
     h1_mean: Array
     h1_m2: Array
     h2_mean: Array
     h2_m2: Array
-    f_mean: Array
-    f_m2: Array
     cross: Array
     prev: Array
 
 
 def _stream_diag_init(C: int, n: int) -> _StreamDiag:
     z = jnp.zeros((C, n))
-    return _StreamDiag(z, z, z, z, z, z, z, z)
+    return _StreamDiag(z, z, z, z, z, z)
 
 
 def _stream_diag_update(sd: _StreamDiag, t, xc: Array,
@@ -298,24 +301,29 @@ def _stream_diag_update(sd: _StreamDiag, t, xc: Array,
     """Fold draw ``t`` (0-based) of every chain into the accumulators."""
     tf = t.astype(xc.dtype)
 
-    def welford(mean, m2, cnt_new, m):
+    def welford(mean, m2, cnt_new):
         delta = xc - mean
-        mean2 = mean + m * delta / jnp.maximum(cnt_new, 1.0)
-        return mean2, m2 + m * delta * (xc - mean2)
+        mean2 = mean + delta / jnp.maximum(cnt_new, 1.0)
+        return mean2, m2 + delta * (xc - mean2)
 
-    in1 = (tf < half).astype(xc.dtype)
-    in2 = ((tf >= half) & (tf < 2 * half)).astype(xc.dtype)
-    h1_mean, h1_m2 = welford(
-        sd.h1_mean, sd.h1_m2, jnp.minimum(tf + 1.0, 1.0 * half), in1
+    def upd1(_):
+        m, s = welford(sd.h1_mean, sd.h1_m2, tf + 1.0)
+        return m, s, sd.h2_mean, sd.h2_m2
+
+    def upd2(_):
+        m, s = welford(sd.h2_mean, sd.h2_m2, tf + 1.0 - half)
+        return sd.h1_mean, sd.h1_m2, m, s
+
+    def noop(_):  # odd-S tail draw: belongs to neither split half
+        return sd.h1_mean, sd.h1_m2, sd.h2_mean, sd.h2_m2
+
+    h1_mean, h1_m2, h2_mean, h2_m2 = jax.lax.cond(
+        tf < half, upd1,
+        lambda o: jax.lax.cond(tf < 2.0 * half, upd2, noop, o),
+        None,
     )
-    h2_mean, h2_m2 = welford(
-        sd.h2_mean, sd.h2_m2, jnp.clip(tf + 1.0 - half, 0.0, 1.0 * half),
-        in2,
-    )
-    f_mean, f_m2 = welford(sd.f_mean, sd.f_m2, tf + 1.0, 1.0)
     cross = sd.cross + jnp.where(tf > 0, xc * sd.prev, 0.0)
-    return _StreamDiag(h1_mean, h1_m2, h2_mean, h2_m2, f_mean, f_m2,
-                       cross, xc)
+    return _StreamDiag(h1_mean, h1_m2, h2_mean, h2_m2, cross, xc)
 
 
 def _stream_diag_finalize(sd: _StreamDiag, n_samples: int) -> dict:
@@ -327,8 +335,10 @@ def _stream_diag_finalize(sd: _StreamDiag, n_samples: int) -> dict:
     approximation S·C·(1−ρ̂₁)/(1+ρ̂₁) from the pooled lag-1 autocorrelation —
     a cheap streamed stand-in for the Geyer estimator (it ignores
     higher-lag structure; use ``utils.diagnostics.ess`` on materialized
-    samples when exactness matters)."""
-    C, n = sd.f_mean.shape
+    samples when exactness matters). The per-chain full-window moments it
+    needs are Chan-merged from the two half pairs (equal counts), not
+    carried separately."""
+    C, n = sd.h1_mean.shape
     half = n_samples // 2
     if half < 2:
         nanv = jnp.full((n,), jnp.nan)
@@ -340,8 +350,13 @@ def _stream_diag_finalize(sd: _StreamDiag, n_samples: int) -> dict:
     var_hat = (half - 1) / half * W + B / half
     rhat = jnp.sqrt(var_hat / jnp.maximum(W, 1e-12))
     S = n_samples
-    var_c = sd.f_m2 / max(S - 1, 1)
-    rho1 = (sd.cross / max(S - 1, 1) - sd.f_mean * sd.f_mean) / jnp.maximum(
+    # Chan merge of the equal-count halves → per-chain moments over the
+    # 2·half window (the odd tail draw, if any, is excluded here but
+    # included in `cross` — an O(1/S) wobble well inside proxy accuracy)
+    f_mean = 0.5 * (sd.h1_mean + sd.h2_mean)
+    f_m2 = sd.h1_m2 + sd.h2_m2 + 0.5 * half * (sd.h1_mean - sd.h2_mean) ** 2
+    var_c = f_m2 / max(2 * half - 1, 1)
+    rho1 = (sd.cross / max(S - 1, 1) - f_mean * f_mean) / jnp.maximum(
         var_c, 1e-12
     )
     rho1 = jnp.clip(jnp.mean(rho1, axis=0), 0.0, 0.999)
@@ -547,7 +562,8 @@ def _welford_update(state: HMCState, xc):
 
 
 @partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples",
-                                   "thin", "collect", "shard"))
+                                   "thin", "collect", "shard",
+                                   "stream_diag"))
 def run_hmc(
     fg: CompiledFG,
     key: Array,
@@ -558,6 +574,7 @@ def run_hmc(
     thin: int = 1,
     collect: str = "samples",
     shard=None,
+    stream_diag: bool = True,
 ):
     """Run the sampler.
 
@@ -572,6 +589,12 @@ def run_hmc(
     chain state distributed over the mesh; reductions (mean accept,
     Welford, streamed moments) become cross-device collectives inserted
     by XLA.
+
+    stream_diag (moments mode): carry the streamed split-R̂/ESS
+    accumulators (default — production runs want convergence evidence).
+    Set False for pure-throughput measurement: the accumulators cost
+    ~5 [C, n] HBM round-trips per draw, a measured 36% of headline HMC
+    throughput at 65k chains on small models (docs/PERF.md round 4).
     """
     k_init, k_warm, k_samp = jax.random.split(key, 3)
     if shard is not None:
@@ -611,13 +634,15 @@ def run_hmc(
             if fg.n_disc:
                 oh = jax.nn.one_hot(xd, fg.max_v, dtype=jnp.float32)
                 cnt = cnt + jnp.sum(oh, axis=0)
-            sd = _stream_diag_update(sd, t, xc, half)
+            if stream_diag:
+                sd = _stream_diag_update(sd, t, xc, half)
             return (state, s1, s2, cnt, sd), acc
 
         z1 = jnp.zeros(fg.n_cont)
         z2 = jnp.zeros(fg.n_cont)
         zc = jnp.zeros((max(fg.n_disc, 1), fg.max_v))
-        sd0 = _stream_diag_init(n_chains, fg.n_cont)
+        sd0 = (_stream_diag_init(n_chains, fg.n_cont) if stream_diag
+               else ())
         (state, s1, s2, cnt, sd), accs = jax.lax.scan(
             moment_step, (state, z1, z2, zc, sd0),
             (jax.random.split(k_samp, n_samples),
@@ -636,7 +661,7 @@ def run_hmc(
             "accept_rate": jnp.mean(accs),
             "step_size": jnp.exp(state.log_eps),
             "inv_mass": state.inv_mass,
-            **_stream_diag_finalize(sd, n_samples),
+            **(_stream_diag_finalize(sd, n_samples) if stream_diag else {}),
         }
         return moments, None, diag
 

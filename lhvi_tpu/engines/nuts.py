@@ -398,7 +398,8 @@ def nuts_transition(fg: CompiledFG, cfg: NUTSConfig, state: "_hmc.HMCState",
 
 
 @partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples",
-                                   "thin", "collect", "shard"))
+                                   "thin", "collect", "shard",
+                                   "stream_diag"))
 def run_nuts(
     fg: CompiledFG,
     key: Array,
@@ -409,10 +410,13 @@ def run_nuts(
     thin: int = 1,
     collect: str = "samples",
     shard=None,
+    stream_diag: bool = True,
 ):
     """NUTS-within-Gibbs over the compiled graph; same contract as
     ``hmc.run_hmc`` (collect="samples"|"moments", thin streams inside the
-    scan, shard distributes the chain axis over a mesh)."""
+    scan, shard distributes the chain axis over a mesh, stream_diag
+    carries the streamed split-R̂/ESS accumulators — set False for
+    pure-throughput measurement)."""
     k_init, k_warm, k_samp = jax.random.split(key, 3)
     hcfg = cfg.to_hmc()
     state = _hmc.init_hmc_state(fg, k_init, hcfg, n_chains, shard)
@@ -456,7 +460,8 @@ def run_nuts(
             if fg.n_disc:
                 oh = jax.nn.one_hot(state.xd, fg.max_v, dtype=jnp.float32)
                 cnt = cnt + jnp.sum(oh, axis=0)
-            sd = _hmc._stream_diag_update(sd, t, state.xc, half)
+            if stream_diag:
+                sd = _hmc._stream_diag_update(sd, t, state.xc, half)
             return (state, s1, s2, cnt, sd), (
                 jnp.mean(acc),
                 jnp.mean(depth.astype(jnp.float32)),
@@ -466,7 +471,8 @@ def run_nuts(
         z1 = jnp.zeros(fg.n_cont)
         z2 = jnp.zeros(fg.n_cont)
         zc = jnp.zeros((max(fg.n_disc, 1), fg.max_v))
-        sd0 = _hmc._stream_diag_init(n_chains, fg.n_cont)
+        sd0 = (_hmc._stream_diag_init(n_chains, fg.n_cont) if stream_diag
+               else ())
         (state, s1, s2, cnt, sd), (accs, depths, divs) = jax.lax.scan(
             moment_step, (state, z1, z2, zc, sd0),
             (jax.random.split(k_samp, n_samples),
@@ -487,7 +493,8 @@ def run_nuts(
             "divergence_rate": jnp.mean(divs),
             "step_size": jnp.exp(state.log_eps),
             "inv_mass": state.inv_mass,
-            **_hmc._stream_diag_finalize(sd, n_samples),
+            **(_hmc._stream_diag_finalize(sd, n_samples) if stream_diag
+               else {}),
         }
         return moments, None, diag
 

@@ -59,6 +59,10 @@ def _payload_to_host(state, sums, chunks_done: int, n_chains: int,
         "chunks_done": chunks_done,
         "n_chains": n_chains,
         "warmup_done": warmup_done,
+        # payload schema version — bump whenever the accumulator LAYOUT
+        # changes (a positional re-interpretation would be silently wrong;
+        # fmt 2 = 6-array _StreamDiag, Chan-merged full-window moments)
+        "fmt": 2,
     }
 
 
@@ -192,6 +196,13 @@ def sample_checkpointed(
                 f"checkpoint has n_chains={payload['n_chains']}, "
                 f"requested {n_chains}"
             )
+        if payload.get("fmt") != 2:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir!r} has payload format "
+                f"{payload.get('fmt')!r} (expected 2): it was written by "
+                "an incompatible lhvi_tpu version. Finalize it with the "
+                "version that wrote it, or restart the run."
+            )
         tmpl = jax.eval_shape(
             lambda k: _hmc.init_hmc_state(fg, k, hcfg, n_chains), k_init
         )
@@ -225,7 +236,7 @@ def sample_checkpointed(
             )
         sum_shapes = (
             (fg.n_cont,), (fg.n_cont,), (max(fg.n_disc, 1), fg.max_v), (),
-        ) + ((n_chains, fg.n_cont),) * 8
+        ) + ((n_chains, fg.n_cont),) * 6
         sums = tuple(
             _restore(str(i), payload["sums"], sh)
             for i, sh in enumerate(sum_shapes)
