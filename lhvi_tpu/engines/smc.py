@@ -286,9 +286,42 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
                 ) & jnp.isfinite(h1)
                 return jnp.where(ok[:, None], x1, xc), ok
 
-            # quad_moves needs the dense (J, h): ELL-sparse models route
-            # through move_batched (autodiff through the sparse matvec)
-            if (fg.n_cont and fg.cont_pure_quad and cfg.quad_moves
+            def move_quad_sparse(km, ka, xc):
+                # the tempered target of a pure-quadratic ELL model is
+                # itself ELL with the SAME neighbor table: β·(diag, w, h)
+                # + (1−β)·(1/s², 0, mid/s²) only rescales the diagonal
+                # and weights — so particles ride the fused sparse
+                # leapfrog (explicit ∇ = h − Jx matvec; autodiff through
+                # the gather would lower to scatter-adds on the backward
+                # pass). Endpoint gradients give both energies for free.
+                from lhvi_tpu.ops.leapfrog import ell_quad_leapfrog
+
+                s2 = cfg.base_scale ** 2
+                diag_b = beta * fg.quad_diag + (1.0 - beta) / s2
+                w_b = beta * fg.quad_ell_w
+                hb = beta * fg.quad_h + (1.0 - beta) * mid / s2
+                p0 = jax.random.normal(km, xc.shape)
+                x1, p1, g0, g1 = ell_quad_leapfrog(
+                    xc, p0, diag_b, fg.quad_ell_col, w_b, hb,
+                    jnp.ones(fg.n_cont), step, cfg.n_leapfrog,
+                )
+                lp0 = 0.5 * jnp.sum(xc * (hb[None] + g0), -1)
+                lp1 = 0.5 * jnp.sum(x1 * (hb[None] + g1), -1)
+                h0 = -lp0 + 0.5 * jnp.sum(p0 * p0, -1)
+                h1 = -lp1 + 0.5 * jnp.sum(p1 * p1, -1)
+                ok = (
+                    jnp.log(jax.random.uniform(ka, (N,)))
+                    < jnp.minimum(0.0, h0 - h1)
+                ) & jnp.isfinite(h1)
+                return jnp.where(ok[:, None], x1, xc), ok
+
+            # pure-quad ELL models ALWAYS take the sparse fused move
+            # (mirrors hmc._hmc_step_batched — the explicit matvec beats
+            # autodiff-with-scatters; GSPMD partitions it natively).
+            # Dense quad_moves stays opt-in (see SMCConfig.quad_moves).
+            if fg.n_cont and fg.cont_pure_quad and fg.quad_sparse:
+                xc, acc = move_quad_sparse(km, ka, xc)
+            elif (fg.n_cont and fg.cont_pure_quad and cfg.quad_moves
                     and not fg.quad_sparse):
                 xc, acc = move_quad(km, ka, xc)
             elif fg.n_cont:
