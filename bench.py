@@ -202,7 +202,12 @@ def vi_lifted_throughput(n_people=320):
         rg.observe("smokes", (f"p{i}",), i % 2)
     g, _ = rg.ground()
     fg_l = compile_lifted(g)
-    cfg = vi.VIConfig(K=4, n_iters=300)
+    # 1500 iters: the 18-orbit lifted ELBO step is so cheap that a
+    # 300-iter fit was dominated by the one dispatch+sync round-trip of
+    # the tunnel (~30-60 ms), reporting dispatch latency as steps/s and
+    # producing the 3.4-6.3k round-over-round wobble VERDICT r3 flagged.
+    # The longer scan amortizes it; the metric is steady-state steps/s.
+    cfg = vi.VIConfig(K=4, n_iters=1500)
 
     def run(rep):
         params, trace = vi.fit(fg_l, jax.random.PRNGKey(rep), cfg)
