@@ -124,7 +124,12 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics", default="")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--quick", action="store_true",
+                   help="one small budget per engine (CI smoke)")
     args = p.parse_args()
+    if args.quick:
+        for k, lad in BUDGETS.items():
+            BUDGETS[k] = lad[:1]
     jax = setup_platform(args.cpu)
 
     from lhvi_tpu import compile_graph

@@ -88,3 +88,27 @@ def test_tp_sharded_elbo_matches_unsharded():
     l0 = float(fg.log_prob(xc, xd))
     l1 = float(fg_tp.log_prob(xc, xd))
     assert np.isclose(l0, l1, rtol=1e-5)
+
+
+def test_engine_comparison_script_smoke(tmp_path):
+    """The cross-engine comparison experiment (reference-paper headline
+    figure) runs end-to-end and emits scored JSONL points."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "cmp.jsonl"
+    r = subprocess.run(
+        [sys.executable, "run_engine_comparison.py", "--cpu", "--quick",
+         "--model", "chain", "--engines", "vi,lbp",
+         "--metrics", str(out)],
+        cwd=os.path.join(repo, "examples"),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    pts = [json.loads(line) for line in out.read_text().splitlines()
+           if '"point"' in line]
+    assert {p["engine"] for p in pts} == {"vi", "lbp"}
+    assert all(p["mean_err_avg"] is not None for p in pts)
