@@ -6,18 +6,21 @@ models; no absolute numbers published, BASELINE.md). One script sweeps a
 budget ladder per engine on one model, scores every latent's posterior
 mean against an exact oracle, and emits the error-vs-wall curve as JSONL
 (`--metrics out.jsonl`) plus a printed table — the JSONL replaces the
-reference's matplotlib plots (accepted in VERDICT r1).
+reference's matplotlib plots (accepted in VERDICT r1). Each point is run
+twice and the SECOND wall time is reported, so jitted engines are scored
+on execution, not trace+compile.
 
     python examples/run_engine_comparison.py --model chain
     python examples/run_engine_comparison.py --model grid --engines vi,lbp
 """
 
 import argparse
+import dataclasses
 import time
 
 import numpy as np
 
-from common import setup_platform  # noqa: F401 (sys.path side effect)
+from common import run_engine, setup_platform
 
 BUDGETS = {
     # engine -> budget ladder (engine-native units, logged per point)
@@ -37,69 +40,66 @@ UNITS = {
 
 
 def build(model: str, seed: int):
-    """Returns (graph, latents, oracle_means dict keyed by id(rv))."""
+    """Returns (graph, latents, oracle_means dict keyed by id(rv),
+    oracle_disc_marginals)."""
     from lhvi_tpu.engines import gabp
     from lhvi_tpu.models.toy import gaussian_grid, hybrid_chain
     from lhvi_tpu.utils.oracle import ExactPosterior
 
     if model == "chain":
         g, _ = hybrid_chain()
-        latents = [rv for rv in g.rvs if not rv.observed]
         exact = ExactPosterior(g, cont_grid=201)
-        means = {id(rv): exact.mean(rv) for rv in latents
-                 if rv.domain.continuous}
-        disc = {id(rv): exact.disc_marginal(rv) for rv in latents
-                if not rv.domain.continuous}
-        return g, latents, means, disc
-    if model == "grid":
+    elif model == "grid":
         g, _ = gaussian_grid(rows=6, cols=6, seed=seed, evidence_frac=0.2)
         oracle, latents = gabp.dense_gaussian_marginals(g)
-        means = {id(rv): oracle[id(rv)][0] for rv in latents}
-        return g, latents, means, {}
-    if model == "smokers":
+        return g, latents, {id(rv): oracle[id(rv)][0] for rv in latents}, {}
+    elif model == "smokers":
         from lhvi_tpu.models.relational import friends_smokers
 
-        rg = friends_smokers(n_people=3, hybrid=True)
+        # n_people=2 keeps the exact oracle tractable: 2 continuous
+        # latents × 61-point grid + ≤8 boolean latents ≈ 1e6 mesh states
+        # (n_people=3 would be ~1e9 — enumeration-infeasible)
+        rg = friends_smokers(n_people=2, hybrid=True)
         rg.observe("smokes", ("p0",), 1)
         g, _ = rg.ground()
-        latents = [rv for rv in g.rvs if not rv.observed]
-        exact = ExactPosterior(g, cont_grid=81)
-        means = {id(rv): exact.mean(rv) for rv in latents
-                 if rv.domain.continuous}
-        disc = {id(rv): exact.disc_marginal(rv) for rv in latents
-                if not rv.domain.continuous}
-        return g, latents, means, disc
-    raise ValueError(f"unknown model {model!r} (chain|grid|smokers)")
+        exact = ExactPosterior(g, cont_grid=61)
+    else:
+        raise ValueError(f"unknown model {model!r} (chain|grid|smokers)")
+    latents = [rv for rv in g.rvs if not rv.observed]
+    means = {id(rv): exact.mean(rv) for rv in latents
+             if rv.domain.continuous}
+    disc = {id(rv): exact.disc_marginal(rv) for rv in latents
+            if not rv.domain.continuous}
+    return g, latents, means, disc
 
 
 def run_point(engine: str, budget: int, g, fg, key):
-    """One (engine, budget) run; returns a result with .mean/.disc_marginal
-    and the wall seconds (including device sync via the queries)."""
-    from lhvi_tpu.engines import gabp, hmc, nuts, smc, vi
-    from lhvi_tpu.engines.epbp import EPBP, EPBPConfig
-    from lhvi_tpu.engines.lbp import HybridLBP
+    """One (engine, budget) run via the shared example dispatcher
+    (``common.run_engine``); returns (result, execution wall seconds).
+    Runs twice — the first call pays trace+compile, the second is timed."""
+    from lhvi_tpu.config import EngineConfig
+    from lhvi_tpu.engines import gabp
 
-    t0 = time.perf_counter()
-    if engine == "vi":
-        res = vi.infer(fg, key, vi.VIConfig(K=4, n_iters=budget))
-    elif engine == "lbp":
-        res = HybridLBP(fg).run(budget)
-    elif engine == "epbp":
-        res = EPBP(fg, EPBPConfig(64, budget)).run(key)
-    elif engine == "gabp":
+    if engine == "gabp":  # object-graph engine, not in run_engine
+        gabp.GaBP(g).run(budget)
+        t0 = time.perf_counter()
         res = gabp.GaBP(g).run(budget)
-    elif engine == "hmc":
-        res = hmc.sample(fg, key, n_chains=64, n_warmup=budget // 2,
-                         n_samples=budget, collect="moments")
-    elif engine == "nuts":
-        res = nuts.sample(fg, key, n_chains=64, n_warmup=budget // 2,
-                          n_samples=budget, collect="moments")
+        return res, time.perf_counter() - t0
+
+    cfg = EngineConfig(engine=engine, collect="moments", n_chains=64,
+                       particles=64)
+    if engine == "vi":
+        cfg = dataclasses.replace(cfg, vi_iters=budget, vi_k=4)
+    elif engine in ("lbp", "epbp"):
+        cfg = dataclasses.replace(cfg, bp_iters=budget)
+    elif engine in ("hmc", "nuts"):
+        cfg = dataclasses.replace(cfg, n_warmup=budget // 2,
+                                  n_samples=budget)
     elif engine == "smc":
-        res = smc.sample(fg, key,
-                         smc.SMCConfig(n_particles=4096, n_temps=budget))
-    else:
-        raise ValueError(f"unknown engine {engine!r}")
-    return res, time.perf_counter() - t0
+        cfg = dataclasses.replace(cfg, smc_temps=budget)
+    run_engine(fg, cfg, key)  # warm-up: same static shapes
+    res = run_engine(fg, cfg, key)
+    return res, res.wall_s
 
 
 def score(res, latents, means, disc):
@@ -111,7 +111,7 @@ def score(res, latents, means, disc):
             try:
                 m = np.asarray(res.disc_marginal(rv))
                 derrs.append(float(np.abs(m - disc[id(rv)]).max()))
-            except (ValueError, NotImplementedError):
+            except (AttributeError, ValueError, NotImplementedError):
                 pass  # engine has no discrete marginals (e.g. GaBP)
     return errs, derrs
 
@@ -120,7 +120,9 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="chain",
                    choices=("chain", "grid", "smokers"))
-    p.add_argument("--engines", default="vi,lbp,epbp,hmc,nuts,smc")
+    p.add_argument("--engines", default="auto",
+                   help="comma list, or 'auto' (every engine the model "
+                        "supports)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics", default="")
     p.add_argument("--cpu", action="store_true")
@@ -138,12 +140,22 @@ def main():
     g, latents, means, disc = build(args.model, args.seed)
     fg = compile_graph(g)
     log = MetricsLogger(args.metrics or None, echo=True)
-    log.log("setup", model=args.model, n_latents=len(latents),
-            engines=args.engines)
 
-    engines = [e.strip() for e in args.engines.split(",") if e.strip()]
-    if args.model != "grid":
-        engines = [e for e in engines if e != "gabp"]
+    if args.engines == "auto":
+        engines = ["vi", "lbp", "epbp", "hmc", "nuts", "smc"]
+        if args.model == "grid":  # GaBP needs an all-Gaussian model
+            engines.insert(3, "gabp")
+    else:
+        engines = [e.strip() for e in args.engines.split(",") if e.strip()]
+        for e in list(engines):
+            if e not in BUDGETS or (e == "gabp" and args.model != "grid"):
+                log.log("skip_engine", engine=e,
+                        why=("unknown engine" if e not in BUDGETS
+                             else "gabp needs --model grid"))
+                engines.remove(e)
+    log.log("setup", model=args.model, n_latents=len(latents),
+            engines=",".join(engines))
+
     rows = []
     for engine in engines:
         for budget in BUDGETS[engine]:

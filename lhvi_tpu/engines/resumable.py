@@ -173,9 +173,9 @@ def sample_checkpointed(
             jnp.zeros(fg.n_cont),
             jnp.zeros((max(fg.n_disc, 1), fg.max_v)),
             jnp.zeros(()),
-            # streamed split-R̂/ESS accumulators (8 × [C, n_cont]) ride
-            # the same checkpoint payload, so convergence evidence
-            # survives preemption too
+            # streamed split-R̂/ESS accumulators (6 × [C, n_cont], the
+            # fmt-2 _StreamDiag layout) ride the same checkpoint payload,
+            # so convergence evidence survives preemption too
             *_hmc._stream_diag_init(n_chains, fg.n_cont),
         )
 

@@ -88,7 +88,7 @@ def test_resume_rejects_incompatible_checkpoint(tmp_path):
     assert out is None
 
     # simulate a payload written by a pre-streamed-diagnostics version:
-    # strip the _StreamDiag accumulators (keys 4..11) from the latest step
+    # strip the _StreamDiag accumulators (keys 4..9) from the latest step
     mgr = CheckpointManager(ckpt)
     step = mgr.latest_step()
     payload = mgr.restore(step)
