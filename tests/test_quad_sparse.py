@@ -225,3 +225,22 @@ def test_smc_sparse_fused_move_matches_oracle(grid_pair):
     # late-anneal rejuvenation must actually move (fused path alive)
     acc = np.asarray(diag["accept"])
     assert acc[-1] > 0.1, acc
+
+
+def test_smc_sparse_move_sharded_matches_unsharded(grid_pair):
+    """The fused sparse rejuvenation move is pure gather·FMA — GSPMD must
+    partition it natively on a sharded particle axis (no shard_map), and
+    the sharded run must equal the unsharded one exactly (same keys)."""
+    from lhvi_tpu.engines import smc
+    from lhvi_tpu.parallel import chain_sharding, make_mesh
+
+    _, _, fgs = grid_pair
+    sh = chain_sharding(make_mesh(axis_names=("dp",)))
+    cfg = smc.SMCConfig(n_particles=1024, n_temps=15, n_moves=1)
+    xc0, _, lw0, lz0, _ = smc.run_smc(fgs, jax.random.PRNGKey(1), cfg)
+    xc1, _, lw1, lz1, _ = smc.run_smc(fgs, jax.random.PRNGKey(1), cfg,
+                                      shard=sh)
+    np.testing.assert_allclose(np.asarray(xc1), np.asarray(xc0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(lz1), float(lz0), rtol=1e-5,
+                               atol=1e-4)
