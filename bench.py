@@ -304,11 +304,21 @@ def hmc_sparse_grid_throughput(rows=128, cols=128, n_chains=1024):
     return n_chains * n_samples / dt
 
 
-def pod_gibbs_throughput(n_people=320, n_chains=128):
+def pod_gibbs_throughput(n_people=320, n_chains=128, chunk=16):
     """Pod-scale flagship (BASELINE config 5): full exact chromatic
     Gibbs sweep over ~1e5 discrete latents + HMC step, chain-samples/s
     through the public run_hmc path (vectorized relational->IR
-    grounding, value-space per-color sweep plan)."""
+    grounding, value-space per-color sweep plan).
+
+    chunk = samples per device dispatch. chunk=1 pays the ~30 ms tunnel
+    round-trip PER SAMPLE (half the measured time at 320 people);
+    chunk=16 amortizes it to <2% and stays ~0.5 s/dispatch, far under
+    this environment's ~10 s execution kill. Early round-3 multi-sample
+    scans crashed the worker compile-side, but that was the value-STATE
+    carry — re-measured round 4 (post `values_are_indices`): chunks
+    1/2/4/8/16 → 2222/2736/3533/3843/4215 chain-samples/s, no crashes.
+    The 600/1000-people scale fields keep chunk=1 (their multi-sample
+    programs are the longest compiles on this worker)."""
     import jax
     from lhvi_tpu.engines import hmc
     from lhvi_tpu.models.relational import friends_smokers
@@ -319,10 +329,6 @@ def pod_gibbs_throughput(n_people=320, n_chains=128):
         rg.observe("smokes", (f"p{i}",), i % 2)
     fg = fast_compile(rg)
     cfg = hmc.HMCConfig(n_leapfrog=6, init_step_size=0.1)
-    # chunk=1: the 4-step sample scan at this scale reproducibly crashes
-    # this environment's TPU worker (compile-side); the 1-step program is
-    # stable and the per-dispatch overhead is <1% at ~80 ms/sample
-    chunk = 1
 
     def run(rep):
         moments, _, _ = hmc.run_hmc(
@@ -393,9 +399,9 @@ def main():
         # crash must not cost the core metrics; the persistent compile
         # cache makes repeat driver runs cheap)
         ("pod600_gibbs_chain_samples_per_s",
-         lambda: pod_gibbs_throughput(n_people=600, n_chains=16)),
+         lambda: pod_gibbs_throughput(n_people=600, n_chains=16, chunk=1)),
         ("pod1000_gibbs_chain_samples_per_s",
-         lambda: pod_gibbs_throughput(n_people=1000, n_chains=8)),
+         lambda: pod_gibbs_throughput(n_people=1000, n_chains=8, chunk=1)),
     ):
         try:
             out[name] = round(fn(), 1)

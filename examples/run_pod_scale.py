@@ -31,12 +31,16 @@ def main():
     parser = make_parser(PodConfig(), __doc__)
     parser.add_argument("--distributed", action="store_true",
                         help="call jax.distributed.initialize() first")
-    parser.add_argument("--chunk", type=int, default=1,
-                        help="samples per device dispatch. Default 1: "
-                        "multi-sample scan programs at pod scale "
-                        "reproducibly crash this environment's TPU "
-                        "worker (compile-side), and at ~70 ms/sample "
-                        "the per-dispatch overhead of chunk=1 is <1%")
+    parser.add_argument("--chunk", type=int, default=4,
+                        help="samples per device dispatch. chunk=1 pays "
+                        "the ~30 ms tunnel round-trip per sample AND "
+                        "yields NaN streamed R-hat (the split needs >=4 "
+                        "draws/dispatch); 4 is measured stable at the "
+                        "320-person flagship (docs/PERF.md round 4 — "
+                        "the round-3 chunk>1 crashes were the value-"
+                        "state carry, since removed). Drop back to 1 "
+                        "for 1M-latent runs if the worker's compiler "
+                        "chokes on the longer scan program")
     parser.add_argument("--fast", action="store_true",
                         help="ground via the vectorized relational→IR "
                         "compiler (relational/fast.py) — no per-ground "
