@@ -167,9 +167,14 @@ def main():
                 log.log("error", engine=engine, budget=budget,
                         what=repr(e)[:200])
                 continue
+            # hmc/nuts pay budget//2 warmup transitions on top of the
+            # budget samples; log them so curves stay comparable across
+            # engines' budget units
+            warm = budget // 2 if engine in ("hmc", "nuts") else 0
             rec = log.log(
                 "point", engine=engine, budget=budget,
-                budget_unit=UNITS[engine], wall_s=round(wall, 3),
+                budget_unit=UNITS[engine], warmup_extra=warm,
+                wall_s=round(wall, 3),
                 mean_err_avg=(round(float(np.mean(errs)), 5)
                               if errs else None),
                 mean_err_max=(round(float(np.max(errs)), 5)

@@ -53,6 +53,12 @@ class SMCConfig:
     # the vmapped autodiff leapfrog beats the padded Pallas kernel by
     # ~10-20% here — SMC is reweight/resample-latency-bound, unlike the
     # 65k-chain HMC loop where the VMEM-resident kernel wins.
+    # NOTE: this flag gates the DENSE path only. Pure-quad ELL (sparse)
+    # models always take the fused sparse move: the explicit ∇ = h − Jx
+    # matvec is measured 3.3× the autodiff-gather move (docs/PERF.md
+    # round 4) with identical proposals, so there is no trade-off to
+    # expose — quad_moves=False does not opt ELL models back to
+    # move_batched.
     quad_moves: bool = struct.field(pytree_node=False, default=False)
     # opt-in Pallas fused log-potential/leapfrog for NON-quad tempered
     # moves (ops/logpot.py; at parity with the XLA path at measured

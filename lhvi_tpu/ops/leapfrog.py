@@ -198,6 +198,10 @@ def ell_quad_leapfrog(x, p, diag, col, w, h, inv_mass, eps, n_steps: int):
         return ell_matvec(x, diag, col, w)
 
     g0 = h[None] - matvec(x)
+    if n_steps == 0:
+        # degenerate no-op config: the position-Verlet tail below would
+        # otherwise still apply one drift + final half-kick
+        return x, p, g0, g0
     m = p + 0.5 * eps * g0
 
     def body(_, carry):
