@@ -19,6 +19,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -275,13 +276,17 @@ class _StreamDiag(NamedTuple):
     available exactly where runs are too big to materialize samples).
 
     Carries two per-chain Welford pairs (first/second half of the draw
-    window — the two "split" chains of split-R̂) and a lag-1 cross-product
-    for an AR(1) ESS proxy. All [C, n_cont]. Full-window moments are
-    derived at finalize by Chan-merging the two halves, and each step
-    updates ONE half's pair (``lax.cond`` on the scalar draw index) — the
-    streamed-diag HBM traffic per draw is 5 [C, n] round-trips, not the
-    17 of the naive 8-accumulator formulation (measured 36% of headline
-    HMC throughput at 65k chains; docs/PERF.md round 4)."""
+    window — the two "split" chains of split-R̂), a lag-1 cross-product
+    for an AR(1) ESS proxy, and a batch-means block (current-batch sum +
+    a Welford pair over completed batch means) for a streamed batch-means
+    ESS that, unlike the AR(1) proxy, is sensitive to ALL lags up to the
+    batch length. All [C, n_cont]. Full-window moments are derived at
+    finalize by Chan-merging the two halves; each step updates ONE half's
+    pair (``lax.cond`` on the scalar draw index), and the batch-means
+    Welford pair is touched only at batch boundaries — per-draw HBM
+    traffic is ~6 [C, n] round-trips, not the 17 of the naive
+    formulation (measured 36% of headline HMC throughput at 65k chains
+    for the 5-trip fmt-2 layout; docs/PERF.md round 4)."""
 
     h1_mean: Array
     h1_m2: Array
@@ -289,60 +294,101 @@ class _StreamDiag(NamedTuple):
     h2_m2: Array
     cross: Array
     prev: Array
+    bm_cur: Array   # running sum of the current batch
+    bm_mean: Array  # Welford over completed batch MEANS
+    bm_m2: Array
 
 
 def _stream_diag_init(C: int, n: int) -> _StreamDiag:
     z = jnp.zeros((C, n))
-    return _StreamDiag(z, z, z, z, z, z)
+    return _StreamDiag(z, z, z, z, z, z, z, z, z)
 
 
-def _stream_diag_update(sd: _StreamDiag, t, xc: Array,
-                        half: int) -> _StreamDiag:
-    """Fold draw ``t`` (0-based) of every chain into the accumulators."""
-    tf = t.astype(xc.dtype)
+def _split_welford_update(h1_mean, h1_m2, h2_mean, h2_m2, tf, x, half: int):
+    """Fold draw ``tf`` (0-based, traced scalar) into the split-half
+    Welford pairs (shared by the continuous and discrete streams)."""
 
     def welford(mean, m2, cnt_new):
-        delta = xc - mean
+        delta = x - mean
         mean2 = mean + delta / jnp.maximum(cnt_new, 1.0)
-        return mean2, m2 + delta * (xc - mean2)
+        return mean2, m2 + delta * (x - mean2)
 
     def upd1(_):
-        m, s = welford(sd.h1_mean, sd.h1_m2, tf + 1.0)
-        return m, s, sd.h2_mean, sd.h2_m2
+        m, s = welford(h1_mean, h1_m2, tf + 1.0)
+        return m, s, h2_mean, h2_m2
 
     def upd2(_):
-        m, s = welford(sd.h2_mean, sd.h2_m2, tf + 1.0 - half)
-        return sd.h1_mean, sd.h1_m2, m, s
+        m, s = welford(h2_mean, h2_m2, tf + 1.0 - half)
+        return h1_mean, h1_m2, m, s
 
     def noop(_):  # odd-S tail draw: belongs to neither split half
-        return sd.h1_mean, sd.h1_m2, sd.h2_mean, sd.h2_m2
+        return h1_mean, h1_m2, h2_mean, h2_m2
 
-    h1_mean, h1_m2, h2_mean, h2_m2 = jax.lax.cond(
+    return jax.lax.cond(
         tf < half, upd1,
         lambda o: jax.lax.cond(tf < 2.0 * half, upd2, noop, o),
         None,
     )
+
+
+def _stream_diag_update(sd: _StreamDiag, t, xc: Array, half: int,
+                        bm_len: int = 0, n_batches: int = 0) -> _StreamDiag:
+    """Fold draw ``t`` (0-based) of every chain into the accumulators.
+
+    ``bm_len``/``n_batches`` (static) enable the batch-means stream:
+    every ``bm_len`` draws the batch mean is folded into a Welford pair
+    and the batch sum reset. ``bm_len=0`` leaves the bm block untouched
+    (schema-stable no-op for callers that predate it)."""
+    tf = t.astype(xc.dtype)
+    h1_mean, h1_m2, h2_mean, h2_m2 = _split_welford_update(
+        sd.h1_mean, sd.h1_m2, sd.h2_mean, sd.h2_m2, tf, xc, half
+    )
     cross = sd.cross + jnp.where(tf > 0, xc * sd.prev, 0.0)
-    return _StreamDiag(h1_mean, h1_m2, h2_mean, h2_m2, cross, xc)
+    bm_cur, bm_mean, bm_m2 = sd.bm_cur, sd.bm_mean, sd.bm_m2
+    if bm_len > 0 and n_batches >= 2:
+        bm_cur = bm_cur + xc
+        t1 = t + 1
+        batch_no = t1 // bm_len  # 1-based count AT a boundary
+
+        def fold(ops):
+            cur, mean, m2 = ops
+            bmean = cur / bm_len
+            cnt = batch_no.astype(xc.dtype)
+            delta = bmean - mean
+            mean2 = mean + delta / jnp.maximum(cnt, 1.0)
+            return jnp.zeros_like(cur), mean2, m2 + delta * (bmean - mean2)
+
+        bm_cur, bm_mean, bm_m2 = jax.lax.cond(
+            (t1 % bm_len == 0) & (batch_no <= n_batches),
+            fold, lambda ops: ops, (bm_cur, bm_mean, bm_m2),
+        )
+    return _StreamDiag(h1_mean, h1_m2, h2_mean, h2_m2, cross, xc,
+                       bm_cur, bm_mean, bm_m2)
 
 
-def _stream_diag_finalize(sd: _StreamDiag, n_samples: int) -> dict:
-    """{'rhat': [n], 'ess_proxy': [n]} from the streamed accumulators.
+def _stream_diag_finalize(sd: _StreamDiag, n_samples: int,
+                          bm_len: int = 0) -> dict:
+    """{'rhat': [n], 'ess_proxy': [n], 'ess_bm': [n]} from the streamed
+    accumulators.
 
     ``rhat`` is EXACT split-R̂ (identical to ``utils.diagnostics.split_rhat``
     on the materialized [S, C, n] samples — the per-half Welford pairs are
     the same chain means/variances). ``ess_proxy`` is the AR(1)
     approximation S·C·(1−ρ̂₁)/(1+ρ̂₁) from the pooled lag-1 autocorrelation —
-    a cheap streamed stand-in for the Geyer estimator (it ignores
-    higher-lag structure; use ``utils.diagnostics.ess`` on materialized
-    samples when exactness matters). The per-chain full-window moments it
-    needs are Chan-merged from the two half pairs (equal counts), not
-    carried separately."""
+    cheap but blind to higher-lag structure. ``ess_bm`` is the batch-means
+    estimator: per chain, τ̂ = b·s²_bm/s² (variance of the ⌊S/b⌋ batch
+    means over the full-window variance), ESS = Σ_c min(S/τ̂_c, S) — it
+    integrates autocorrelation up to the batch length b=⌊√S⌋, so it is
+    the more defensible production number when chains mix slower than one
+    lag (accuracy envelope vs Geyer measured in tests/test_stream_diag.py).
+    NaN when ``bm_len`` was 0 (fewer than 2 complete batches). The
+    per-chain full-window moments are Chan-merged from the two half
+    pairs (equal counts), not carried separately."""
     C, n = sd.h1_mean.shape
     half = n_samples // 2
     if half < 2:
         nanv = jnp.full((n,), jnp.nan)
-        return {"rhat": nanv, "ess_proxy": nanv}
+        return {"rhat": nanv, "ess_proxy": nanv, "ess_bm": nanv}
     chain_mean = jnp.concatenate([sd.h1_mean, sd.h2_mean], axis=0)
     chain_var = jnp.concatenate([sd.h1_m2, sd.h2_m2], axis=0) / (half - 1)
     B = half * jnp.var(chain_mean, axis=0, ddof=1)
@@ -361,7 +407,129 @@ def _stream_diag_finalize(sd: _StreamDiag, n_samples: int) -> dict:
     )
     rho1 = jnp.clip(jnp.mean(rho1, axis=0), 0.0, 0.999)
     ess = S * C * (1.0 - rho1) / (1.0 + rho1)
-    return {"rhat": rhat, "ess_proxy": ess}
+    n_batches = S // bm_len if bm_len else 0
+    if n_batches >= 2:
+        s2_bm = sd.bm_m2 / (n_batches - 1)  # [C, n]
+        tau = bm_len * s2_bm / jnp.maximum(var_c, 1e-12)
+        ess_c = jnp.minimum(S / jnp.maximum(tau, 1e-12), float(S))
+        # a frozen dimension (var_c == 0) has no defined autocorrelation;
+        # report S per chain rather than 0/0 noise
+        ess_c = jnp.where(var_c <= 0.0, float(S), ess_c)
+        ess_bm = jnp.sum(ess_c, axis=0)
+    else:
+        ess_bm = jnp.full((n,), jnp.nan)
+    return {"rhat": rhat, "ess_proxy": ess, "ess_bm": ess_bm}
+
+
+class _StreamDiagDisc(NamedTuple):
+    """Split-half Welford pairs over the VALUE states of (a subset of)
+    the discrete latents — the streamed split-R̂ evidence for the Gibbs
+    half of the sampler (VERDICT r4 #1: at pod scale 99.7% of the state
+    is discrete and previously shipped no convergence evidence). All
+    [C, n_sel] f32, where the selection is every discrete latent below
+    ``disc_diag_cap`` and a deterministic color-stratified subsample
+    above it (``disc_diag_select``)."""
+
+    h1_mean: Array
+    h1_m2: Array
+    h2_mean: Array
+    h2_m2: Array
+
+
+def _stream_diag_disc_init(C: int, n_sel: int) -> _StreamDiagDisc:
+    z = jnp.zeros((C, n_sel))
+    return _StreamDiagDisc(z, z, z, z)
+
+
+def disc_diag_select(fg: CompiledFG, cap: int, seed: int = 0):
+    """Deterministic selection of discrete variables for streamed
+    convergence diagnostics (host-side, baked into the jitted program).
+
+    All ``n_disc`` variables when ``n_disc <= cap``; otherwise a
+    subsample of size ``cap`` stratified over the chromatic-Gibbs color
+    classes (``fg.color_of``) by largest-remainder proportional
+    allocation (≥1 per class while the budget allows — classes are the
+    structural symmetry groups, so stratifying by them covers every
+    update pattern the sweep has). Keyed by ``seed``: the same model +
+    cap + seed always monitors the same variables."""
+    n = fg.n_disc
+    if n <= cap:
+        return np.arange(n, dtype=np.int32)
+    colors = np.asarray(fg.color_of)
+    rng = np.random.default_rng(seed)
+    uniq, counts = np.unique(colors, return_counts=True)
+    quota = np.floor(cap * counts / n).astype(np.int64)
+    if len(uniq) <= cap:
+        quota = np.maximum(quota, 1)
+    # largest-remainder top-up / trim to exactly cap
+    rem = cap * counts / n - np.floor(cap * counts / n)
+    while quota.sum() < cap:
+        i = int(np.argmax(rem))
+        quota[i] += 1
+        rem[i] = -1.0
+    while quota.sum() > cap:
+        i = int(np.argmax(quota))
+        quota[i] -= 1
+    sel = []
+    for c, q in zip(uniq, quota):
+        if q <= 0:
+            continue
+        idx = np.flatnonzero(colors == c)
+        sel.append(rng.choice(idx, size=min(int(q), idx.size),
+                              replace=False))
+    return np.sort(np.concatenate(sel)).astype(np.int32)
+
+
+def _disc_sel_values(fg: CompiledFG, sel, xd: Array) -> Array:
+    """[C, n_sel] f32 domain VALUES of the selected discrete latents —
+    matches what ``split_rhat`` on a materialized value trace sees (the
+    one-hot multiply-add over the per-var value table; V is tiny)."""
+    xs = xd[:, sel]
+    vals = fg.disc_vals[sel]  # [n_sel, V]
+    out = jnp.zeros(xs.shape)
+    for v in range(fg.max_v):
+        out = out + jnp.where(xs == v, vals[None, :, v], 0.0)
+    return out
+
+
+def _stream_diag_disc_update(sdd: _StreamDiagDisc, t, xv: Array,
+                             half: int) -> _StreamDiagDisc:
+    """Fold draw ``t``'s selected discrete VALUES into the accumulators."""
+    tf = t.astype(xv.dtype)
+    return _StreamDiagDisc(*_split_welford_update(
+        sdd.h1_mean, sdd.h1_m2, sdd.h2_mean, sdd.h2_m2, tf, xv, half
+    ))
+
+
+def _stream_diag_disc_finalize(sdd: _StreamDiagDisc,
+                               n_samples: int) -> dict:
+    """{'rhat_disc': [n_sel]} — exact split-R̂ over the selected discrete
+    latents' value traces. A latent frozen at ONE value across all chains
+    and halves (B = W = 0, e.g. symmetry-pinned by evidence) reports 1.0
+    — "no disagreement" — rather than the 0/0 artifact; B > 0 with W = 0
+    (chains stuck at DIFFERENT values) still blows up, which is the
+    signal the statistic exists for."""
+    half = n_samples // 2
+    n = sdd.h1_mean.shape[1]
+    if half < 2:
+        return {"rhat_disc": jnp.full((n,), jnp.nan)}
+    chain_mean = jnp.concatenate([sdd.h1_mean, sdd.h2_mean], axis=0)
+    chain_var = jnp.concatenate([sdd.h1_m2, sdd.h2_m2], axis=0) / (half - 1)
+    B = half * jnp.var(chain_mean, axis=0, ddof=1)
+    W = jnp.mean(chain_var, axis=0)
+    var_hat = (half - 1) / half * W + B / half
+    rhat = jnp.sqrt(var_hat / jnp.maximum(W, 1e-12))
+    return {"rhat_disc": jnp.where((W <= 0.0) & (B <= 1e-12), 1.0, rhat)}
+
+
+def _bm_schedule(n_samples: int) -> tuple:
+    """Static (batch length, batch count) for the batch-means stream:
+    b = ⌊√S⌋ balances bias (short batches miss long-lag correlation)
+    against variance (few batches); disabled (0, 0) when fewer than two
+    complete batches fit."""
+    b = max(1, int(n_samples ** 0.5))
+    nb = n_samples // b
+    return (b, nb) if nb >= 2 else (0, 0)
 
 
 def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
@@ -561,9 +729,6 @@ def _welford_update(state: HMCState, xc):
     return state._replace(welford_mean=mean, welford_m2=m2, welford_n=n_new)
 
 
-@partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples",
-                                   "thin", "collect", "shard",
-                                   "stream_diag"))
 def run_hmc(
     fg: CompiledFG,
     key: Array,
@@ -575,6 +740,7 @@ def run_hmc(
     collect: str = "samples",
     shard=None,
     stream_diag: bool = True,
+    disc_diag_cap: int = 4096,
 ):
     """Run the sampler.
 
@@ -595,7 +761,43 @@ def run_hmc(
     Set False for pure-throughput measurement: the accumulators cost
     ~5 [C, n] HBM round-trips per draw, a measured 36% of headline HMC
     throughput at 65k chains on small models (docs/PERF.md round 4).
+
+    disc_diag_cap (moments mode, with stream_diag): how many discrete
+    latents carry streamed split-R̂ over their value traces
+    (diag["rhat_disc"], with diag["disc_diag_idx"] naming the monitored
+    variables). All of them below the cap; a deterministic
+    color-stratified subsample of exactly ``cap`` above it
+    (``disc_diag_select``). 0 disables the discrete stream.
     """
+    # the selection reads fg.color_of with host numpy — hoisted out of
+    # the jitted body (where fg's arrays are tracers) and passed as a
+    # static tuple
+    want_disc = (collect == "moments" and stream_diag and fg.n_disc > 0
+                 and disc_diag_cap > 0)
+    disc_sel = (tuple(int(i) for i in disc_diag_select(fg, disc_diag_cap))
+                if want_disc else None)
+    return _run_hmc(fg, key, cfg, n_chains=n_chains, n_warmup=n_warmup,
+                    n_samples=n_samples, thin=thin, collect=collect,
+                    shard=shard, stream_diag=stream_diag,
+                    disc_sel=disc_sel)
+
+
+@partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples",
+                                   "thin", "collect", "shard",
+                                   "stream_diag", "disc_sel"))
+def _run_hmc(
+    fg: CompiledFG,
+    key: Array,
+    cfg: HMCConfig,
+    n_chains: int,
+    n_warmup: int,
+    n_samples: int,
+    thin: int,
+    collect: str,
+    shard,
+    stream_diag: bool,
+    disc_sel,
+):
     k_init, k_warm, k_samp = jax.random.split(key, 3)
     if shard is not None:
         if cfg.fused_logpot:
@@ -624,10 +826,13 @@ def run_hmc(
 
     if collect == "moments":
         half = n_samples // 2
+        bm_len, n_batches = _bm_schedule(n_samples)
+        want_disc = disc_sel is not None
+        sel = np.asarray(disc_sel, np.int32) if want_disc else None
 
         def moment_step(carry, inp):
             key, t = inp
-            state, s1, s2, cnt, sd = carry
+            state, s1, s2, cnt, sd, sdd = carry
             state, (xc, xd, acc) = sample_step(state, key)
             s1 = s1 + jnp.sum(xc, axis=0)
             s2 = s2 + jnp.sum(xc * xc, axis=0)
@@ -635,16 +840,21 @@ def run_hmc(
                 oh = jax.nn.one_hot(xd, fg.max_v, dtype=jnp.float32)
                 cnt = cnt + jnp.sum(oh, axis=0)
             if stream_diag:
-                sd = _stream_diag_update(sd, t, xc, half)
-            return (state, s1, s2, cnt, sd), acc
+                sd = _stream_diag_update(sd, t, xc, half, bm_len, n_batches)
+            if want_disc:
+                sdd = _stream_diag_disc_update(
+                    sdd, t, _disc_sel_values(fg, sel, xd), half)
+            return (state, s1, s2, cnt, sd, sdd), acc
 
         z1 = jnp.zeros(fg.n_cont)
         z2 = jnp.zeros(fg.n_cont)
         zc = jnp.zeros((max(fg.n_disc, 1), fg.max_v))
         sd0 = (_stream_diag_init(n_chains, fg.n_cont) if stream_diag
                else ())
-        (state, s1, s2, cnt, sd), accs = jax.lax.scan(
-            moment_step, (state, z1, z2, zc, sd0),
+        sdd0 = (_stream_diag_disc_init(n_chains, len(sel)) if want_disc
+                else ())
+        (state, s1, s2, cnt, sd, sdd), accs = jax.lax.scan(
+            moment_step, (state, z1, z2, zc, sd0, sdd0),
             (jax.random.split(k_samp, n_samples),
              jnp.arange(n_samples, dtype=jnp.int32)),
         )
@@ -661,8 +871,13 @@ def run_hmc(
             "accept_rate": jnp.mean(accs),
             "step_size": jnp.exp(state.log_eps),
             "inv_mass": state.inv_mass,
-            **(_stream_diag_finalize(sd, n_samples) if stream_diag else {}),
+            **(_stream_diag_finalize(sd, n_samples, bm_len)
+               if stream_diag else {}),
+            **(_stream_diag_disc_finalize(sdd, n_samples)
+               if want_disc else {}),
         }
+        if want_disc:
+            diag["disc_diag_idx"] = jnp.asarray(sel)
         return moments, None, diag
 
     state, (s_xc, s_xd, accs) = jax.lax.scan(

@@ -397,9 +397,6 @@ def nuts_transition(fg: CompiledFG, cfg: NUTSConfig, state: "_hmc.HMCState",
     return state, (acc, depth, div)
 
 
-@partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples",
-                                   "thin", "collect", "shard",
-                                   "stream_diag"))
 def run_nuts(
     fg: CompiledFG,
     key: Array,
@@ -411,12 +408,41 @@ def run_nuts(
     collect: str = "samples",
     shard=None,
     stream_diag: bool = True,
+    disc_diag_cap: int = 4096,
 ):
     """NUTS-within-Gibbs over the compiled graph; same contract as
     ``hmc.run_hmc`` (collect="samples"|"moments", thin streams inside the
     scan, shard distributes the chain axis over a mesh, stream_diag
     carries the streamed split-R̂/ESS accumulators — set False for
-    pure-throughput measurement)."""
+    pure-throughput measurement; disc_diag_cap bounds the streamed
+    discrete-value split-R̂ selection)."""
+    want_disc = (collect == "moments" and stream_diag and fg.n_disc > 0
+                 and disc_diag_cap > 0)
+    disc_sel = (tuple(int(i)
+                      for i in _hmc.disc_diag_select(fg, disc_diag_cap))
+                if want_disc else None)
+    return _run_nuts(fg, key, cfg, n_chains=n_chains, n_warmup=n_warmup,
+                     n_samples=n_samples, thin=thin, collect=collect,
+                     shard=shard, stream_diag=stream_diag,
+                     disc_sel=disc_sel)
+
+
+@partial(jax.jit, static_argnames=("n_chains", "n_warmup", "n_samples",
+                                   "thin", "collect", "shard",
+                                   "stream_diag", "disc_sel"))
+def _run_nuts(
+    fg: CompiledFG,
+    key: Array,
+    cfg: NUTSConfig,
+    n_chains: int,
+    n_warmup: int,
+    n_samples: int,
+    thin: int,
+    collect: str,
+    shard,
+    stream_diag: bool,
+    disc_sel,
+):
     k_init, k_warm, k_samp = jax.random.split(key, 3)
     hcfg = cfg.to_hmc()
     state = _hmc.init_hmc_state(fg, k_init, hcfg, n_chains, shard)
@@ -450,10 +476,13 @@ def run_nuts(
 
     if collect == "moments":
         half = n_samples // 2
+        bm_len, n_batches = _hmc._bm_schedule(n_samples)
+        want_disc = disc_sel is not None
+        sel = np.asarray(disc_sel, np.int32) if want_disc else None
 
         def moment_step(carry, inp):
             key, t = inp
-            state, s1, s2, cnt, sd = carry
+            state, s1, s2, cnt, sd, sdd = carry
             state, (acc, depth, div) = sample_step(state, key)
             s1 = s1 + jnp.sum(state.xc, axis=0)
             s2 = s2 + jnp.sum(state.xc * state.xc, axis=0)
@@ -461,8 +490,12 @@ def run_nuts(
                 oh = jax.nn.one_hot(state.xd, fg.max_v, dtype=jnp.float32)
                 cnt = cnt + jnp.sum(oh, axis=0)
             if stream_diag:
-                sd = _hmc._stream_diag_update(sd, t, state.xc, half)
-            return (state, s1, s2, cnt, sd), (
+                sd = _hmc._stream_diag_update(sd, t, state.xc, half,
+                                              bm_len, n_batches)
+            if want_disc:
+                sdd = _hmc._stream_diag_disc_update(
+                    sdd, t, _hmc._disc_sel_values(fg, sel, state.xd), half)
+            return (state, s1, s2, cnt, sd, sdd), (
                 jnp.mean(acc),
                 jnp.mean(depth.astype(jnp.float32)),
                 jnp.mean(div.astype(jnp.float32)),
@@ -473,8 +506,10 @@ def run_nuts(
         zc = jnp.zeros((max(fg.n_disc, 1), fg.max_v))
         sd0 = (_hmc._stream_diag_init(n_chains, fg.n_cont) if stream_diag
                else ())
-        (state, s1, s2, cnt, sd), (accs, depths, divs) = jax.lax.scan(
-            moment_step, (state, z1, z2, zc, sd0),
+        sdd0 = (_hmc._stream_diag_disc_init(n_chains, len(sel))
+                if want_disc else ())
+        (state, s1, s2, cnt, sd, sdd), (accs, depths, divs) = jax.lax.scan(
+            moment_step, (state, z1, z2, zc, sd0, sdd0),
             (jax.random.split(k_samp, n_samples),
              jnp.arange(n_samples, dtype=jnp.int32)),
         )
@@ -493,9 +528,13 @@ def run_nuts(
             "divergence_rate": jnp.mean(divs),
             "step_size": jnp.exp(state.log_eps),
             "inv_mass": state.inv_mass,
-            **(_hmc._stream_diag_finalize(sd, n_samples) if stream_diag
-               else {}),
+            **(_hmc._stream_diag_finalize(sd, n_samples, bm_len)
+               if stream_diag else {}),
+            **(_hmc._stream_diag_disc_finalize(sdd, n_samples)
+               if want_disc else {}),
         }
+        if want_disc:
+            diag["disc_diag_idx"] = jnp.asarray(sel)
         return moments, None, diag
 
     def collect_step(state, key):

@@ -61,8 +61,9 @@ def _payload_to_host(state, sums, chunks_done: int, n_chains: int,
         "warmup_done": warmup_done,
         # payload schema version — bump whenever the accumulator LAYOUT
         # changes (a positional re-interpretation would be silently wrong;
-        # fmt 2 = 6-array _StreamDiag, Chan-merged full-window moments)
-        "fmt": 2,
+        # fmt 3 = 9-array _StreamDiag incl. the batch-means block, plus
+        # the 4-array _StreamDiagDisc discrete-value split-R̂ stream)
+        "fmt": 3,
     }
 
 
@@ -79,6 +80,7 @@ def sample_checkpointed(
     ckpt_dir: str,
     shard=None,
     max_to_keep: int = 3,
+    disc_diag_cap: int = 4096,
     _interrupt_after: Optional[int] = None,
     _interrupt_warmup_after: Optional[int] = None,
 ):
@@ -93,6 +95,11 @@ def sample_checkpointed(
     None); ``_interrupt_warmup_after=k`` stops after persisting warmup
     chunk k — the fault-injection hooks the resume tests use to simulate
     preemption.
+
+    ``disc_diag_cap`` bounds the streamed discrete-value split-R̂
+    selection exactly as in ``hmc.run_hmc`` (its accumulators ride the
+    checkpoint payload, so ``rhat_disc`` covers ALL draws of a
+    preempted+resumed run too).
     """
     from lhvi_tpu.utils.checkpoint import CheckpointManager
 
@@ -128,29 +135,38 @@ def sample_checkpointed(
 
     n_chunks = math.ceil(n_samples / chunk_size)
     half = n_samples // 2  # split point for the streamed split-R̂
+    bm_len, n_batches = _hmc._bm_schedule(n_samples)
+    # streamed discrete-value split-R̂ selection (host-side, static)
+    sel = (_hmc.disc_diag_select(fg, disc_diag_cap)
+           if fg.n_disc and disc_diag_cap > 0 else np.zeros(0, np.int32))
+    n_sel = int(sel.size)
     k_init, k_warm, k_samp = jax.random.split(key, 3)
 
-    def chunk_body(state, s1, s2, cnt, acc_sum, sd, ckey, t0, n: int):
+    def chunk_body(state, s1, s2, cnt, acc_sum, sd, sdd, ckey, t0, n: int):
         def step(carry, inp):
             k, t = inp
-            state, s1, s2, cnt, acc_sum, sd = carry
+            state, s1, s2, cnt, acc_sum, sd, sdd = carry
             state, acc = trans(state, k)
             s1 = s1 + jnp.sum(state.xc, axis=0)
             s2 = s2 + jnp.sum(state.xc * state.xc, axis=0)
             if fg.n_disc:
                 oh = jax.nn.one_hot(state.xd, fg.max_v, dtype=jnp.float32)
                 cnt = cnt + jnp.sum(oh, axis=0)
-            sd = _hmc._stream_diag_update(sd, t, state.xc, half)
-            return (state, s1, s2, cnt, acc_sum + acc, sd), None
+            sd = _hmc._stream_diag_update(sd, t, state.xc, half,
+                                          bm_len, n_batches)
+            if n_sel:
+                sdd = _hmc._stream_diag_disc_update(
+                    sdd, t, _hmc._disc_sel_values(fg, sel, state.xd), half)
+            return (state, s1, s2, cnt, acc_sum + acc, sd, sdd), None
 
         keys = jax.random.split(ckey, n)
         ts = t0 + jnp.arange(n, dtype=jnp.int32)
-        (state, s1, s2, cnt, acc_sum, sd), _ = jax.lax.scan(
-            step, (state, s1, s2, cnt, acc_sum, sd), (keys, ts)
+        (state, s1, s2, cnt, acc_sum, sd, sdd), _ = jax.lax.scan(
+            step, (state, s1, s2, cnt, acc_sum, sd, sdd), (keys, ts)
         )
-        return state, s1, s2, cnt, acc_sum, sd
+        return state, s1, s2, cnt, acc_sum, sd, sdd
 
-    chunk_jit = jax.jit(chunk_body, static_argnums=8)
+    chunk_jit = jax.jit(chunk_body, static_argnums=9)
 
     def trans_adapt(s, k):
         if engine == "hmc":
@@ -173,10 +189,13 @@ def sample_checkpointed(
             jnp.zeros(fg.n_cont),
             jnp.zeros((max(fg.n_disc, 1), fg.max_v)),
             jnp.zeros(()),
-            # streamed split-R̂/ESS accumulators (6 × [C, n_cont], the
-            # fmt-2 _StreamDiag layout) ride the same checkpoint payload,
-            # so convergence evidence survives preemption too
+            # streamed split-R̂/ESS accumulators (9 × [C, n_cont] incl.
+            # the batch-means block, then 4 × [C, n_sel] for the
+            # discrete-value stream — the fmt-3 layout) ride the same
+            # checkpoint payload, so convergence evidence survives
+            # preemption too
             *_hmc._stream_diag_init(n_chains, fg.n_cont),
+            *_hmc._stream_diag_disc_init(n_chains, n_sel),
         )
 
     mgr = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep)
@@ -196,10 +215,10 @@ def sample_checkpointed(
                 f"checkpoint has n_chains={payload['n_chains']}, "
                 f"requested {n_chains}"
             )
-        if payload.get("fmt") != 2:
+        if payload.get("fmt") != 3:
             raise ValueError(
                 f"checkpoint at {ckpt_dir!r} has payload format "
-                f"{payload.get('fmt')!r} (expected 2): it was written by "
+                f"{payload.get('fmt')!r} (expected 3): it was written by "
                 "an incompatible lhvi_tpu version. Finalize it with the "
                 "version that wrote it, or restart the run."
             )
@@ -236,7 +255,7 @@ def sample_checkpointed(
             )
         sum_shapes = (
             (fg.n_cont,), (fg.n_cont,), (max(fg.n_disc, 1), fg.max_v), (),
-        ) + ((n_chains, fg.n_cont),) * 6
+        ) + ((n_chains, fg.n_cont),) * 9 + ((n_chains, n_sel),) * 4
         sums = tuple(
             _restore(str(i), payload["sums"], sh)
             for i, sh in enumerate(sum_shapes)
@@ -295,10 +314,10 @@ def sample_checkpointed(
         n = min(chunk_size, n_samples - c * chunk_size)
         ckey = jax.random.fold_in(k_samp, c)
         t0 = jnp.asarray(c * chunk_size, jnp.int32)
-        out = chunk_jit(state, *sums[:4], _hmc._StreamDiag(*sums[4:]),
-                        ckey, t0, n)
+        out = chunk_jit(state, *sums[:4], _hmc._StreamDiag(*sums[4:13]),
+                        _hmc._StreamDiagDisc(*sums[13:]), ckey, t0, n)
         state = out[0]
-        sums = tuple(out[1:5]) + tuple(out[5])
+        sums = tuple(out[1:5]) + tuple(out[5]) + tuple(out[6])
         mgr.save(next_step,
                  _payload_to_host(state, sums, c + 1, n_chains, n_warmup),
                  wait=True)
@@ -309,7 +328,8 @@ def sample_checkpointed(
     mgr.close()
 
     s1, s2, cnt, acc_sum = sums[:4]
-    sd = _hmc._StreamDiag(*sums[4:])
+    sd = _hmc._StreamDiag(*sums[4:13])
+    sdd = _hmc._StreamDiagDisc(*sums[13:])
     n_obs = n_samples * n_chains
     mean = s1 / n_obs
     var = jnp.maximum(s2 / n_obs - mean**2, 0.0)
@@ -323,6 +343,10 @@ def sample_checkpointed(
         "accept_rate": acc_sum / n_samples,
         "step_size": jnp.exp(state.log_eps),
         "inv_mass": state.inv_mass,
-        **_hmc._stream_diag_finalize(sd, n_samples),
+        **_hmc._stream_diag_finalize(sd, n_samples, bm_len),
+        **(_hmc._stream_diag_disc_finalize(sdd, n_samples)
+           if n_sel else {}),
     }
+    if n_sel:
+        diag["disc_diag_idx"] = jnp.asarray(sel)
     return _hmc.HMCMoments(fg, moments, diag)

@@ -36,6 +36,12 @@ def test_resume_bitwise_identical(tmp_path):
     assert np.array_equal(full.diag["rhat"], resumed.diag["rhat"])
     assert np.isfinite(resumed.diag["rhat"]).all()
     assert np.array_equal(full.diag["ess_proxy"], resumed.diag["ess_proxy"])
+    assert np.array_equal(full.diag["ess_bm"], resumed.diag["ess_bm"])
+    assert np.isfinite(resumed.diag["ess_bm"]).all()
+    # ...including the discrete-value split-R̂ stream (fmt-3 payload)
+    assert np.array_equal(full.diag["rhat_disc"], resumed.diag["rhat_disc"])
+    assert resumed.diag["rhat_disc"].shape == (fg.n_disc,)
+    assert np.isfinite(resumed.diag["rhat_disc"]).all()
 
     # and the answers are actually right
     exact = ExactPosterior(g, cont_grid=161)
