@@ -35,6 +35,24 @@ def main():
         print(f"min ESS across temperatures = {ess.min():.0f}  "
               f"(temps used: {used}, final step "
               f"{float(res.diag['final_step']):.3f})")
+        if cfg.metrics_path:
+            from lhvi_tpu.utils.metrics import MetricsLogger
+
+            log = MetricsLogger(cfg.metrics_path)
+            # the (self-chosen, under --smc-adaptive) β schedule, plus
+            # per-temperature ESS/accept traces — the structured record
+            # of what the anneal actually did
+            log.log("smc_run",
+                    adaptive=cfg.smc_adaptive,
+                    n_temps_used=used,
+                    betas=np.asarray(res.diag["betas"])[:used].round(5),
+                    ess=ess.round(1),
+                    accept=np.asarray(res.diag["accept"])[:used].round(3),
+                    final_step=round(float(res.diag["final_step"]), 4),
+                    log_z=round(float(res.log_z), 4),
+                    err_avg=round(float(np.mean(errs)), 5),
+                    err_max=round(float(np.max(errs)), 5))
+            log.close()
 
 
 if __name__ == "__main__":

@@ -63,10 +63,16 @@ class FriendsSmokersConfig(EngineConfig):
 
 @dataclass
 class LDSConfig(EngineConfig):
-    """BASELINE config 4: Kalman-like LDS under SMC."""
+    """BASELINE config 4: Kalman-like LDS under SMC.
+
+    Production default is ADAPTIVE tempering (VERDICT r4 #3: measured
+    strictly tighter at equal moves, and the fixed grid silently loses
+    rejuvenation acceptance on stiff targets); ``--smc-adaptive false``
+    restores the fixed β grid (the identity tests pin that path)."""
 
     T: int = 20
     engine: str = "smc"
+    smc_adaptive: bool = True
 
 
 @dataclass
