@@ -51,6 +51,10 @@ class HMCConfig:
     # chain-axis NamedSharding, stamped by run_hmc(shard=...); routes the
     # Pallas quad leapfrog through shard_map (one kernel per device)
     shard: object = struct.field(pytree_node=False, default=None)
+    # banded (DIA) trajectory-resident Pallas leapfrog on ELL targets
+    # whose offsets form a small static set (ops/dia.py); False keeps the
+    # ELL gather·FMA path for A/B measurement
+    dia_kernel: bool = struct.field(pytree_node=False, default=True)
 
 
 class HMCState(NamedTuple):
@@ -572,6 +576,29 @@ def _hmc_step_batched(fg: CompiledFG, cfg: HMCConfig, key, xc, xd, eps,
 
     C = xc.shape[0]
     k_mom, k_acc = jax.random.split(key)
+    from lhvi_tpu.ops.dia import DIA_MAX_EMB
+
+    if (fg.quad_sparse and fg.quad_dia_offsets is not None
+            and cfg.dia_kernel
+            # past this embedded width the whole-trajectory kernel
+            # cannot fit VMEM even at the minimum block — ELL stands
+            and fg.quad_dia_w.shape[1] <= DIA_MAX_EMB):
+        # banded refinement: one fused proposal — momentum sampling,
+        # whole-trajectory VMEM-resident Pallas integration (static
+        # lane-rolls, no gathers), energies — all in declaration-order
+        # embedded coordinates, entered/left by ONE gather each way
+        # (ops/dia.py; jnp fallback off-TPU)
+        from lhvi_tpu.ops.dia import dia_hmc_proposal
+
+        x1, log_acc = dia_hmc_proposal(
+            k_mom, xc, fg.quad_diag, fg.quad_dia_offsets, fg.quad_dia_w,
+            fg.quad_h, inv_mass, eps, cfg.n_leapfrog,
+            pos=fg.quad_dia_pos, inv=fg.quad_dia_inv, shard=cfg.shard,
+        )
+        accept = jnp.log(jax.random.uniform(k_acc, (C,))) < log_acc
+        xc = jnp.where(accept[:, None], x1, xc)
+        return xc, jnp.exp(log_acc)
+
     std = jnp.sqrt(1.0 / jnp.maximum(inv_mass, 1e-12))
     p0 = std[None, :] * jax.random.normal(k_mom, xc.shape)
     ke = lambda p: 0.5 * jnp.sum(inv_mass[None, :] * p * p, axis=-1)

@@ -301,6 +301,19 @@ class CompiledFG:
     quad_ell_col: Any = None  # i32 [n_cont, D]
     quad_ell_w: Any = None  # f32 [n_cont, D]
     quad_sparse: bool = struct.field(pytree_node=False, default=False)
+    # --- banded (DIA) refinement of the ELL form ------------------------
+    # When the active ELL offsets col[i,d]−i form a small static set
+    # (grids: {±1, ±W}; chains: {±1}), J is banded and the whole HMC
+    # trajectory can run in ONE VMEM-resident Pallas kernel with static
+    # lane-rolls instead of gathers (ops/dia.py — the in-kernel gather
+    # path is blocked by Mosaic's single-vreg gather limit). offsets is
+    # static; quad_dia_w is f32 [K, n_emb] in declaration-order embedded
+    # coordinates; quad_dia_pos (i32 [n_cont], or None for identity)
+    # scatters the latent state into that space.
+    quad_dia_offsets: Any = struct.field(pytree_node=False, default=None)
+    quad_dia_w: Any = None
+    quad_dia_pos: Any = None
+    quad_dia_inv: Any = None  # i32 [n_emb] inverse map (gather-embeds)
 
     # ------------------------------------------------------------------
     @property
@@ -737,6 +750,7 @@ def compile_graph(
     has_quad = bool(fused_factors)
     quad_sparse = False
     quad_diag = quad_ell_col = quad_ell_w = None
+    quad_dia_offsets = quad_dia_w = quad_dia_pos = quad_dia_inv = None
     J = None
     if has_quad and n_cont > quad_max_n:
         ell = accumulate_information_ell(
@@ -757,6 +771,35 @@ def compile_graph(
             quad_J = jnp.zeros((0, 0))
             quad_h = jnp.asarray(h, jnp.float32)
             quad_c = jnp.asarray(c, jnp.float32)
+            # banded refinement: grids/chains compile to a static
+            # diagonal-offset set → trajectory-resident Pallas leapfrog.
+            # Latent indices are evidence-compacted (irregular offsets on
+            # any observed grid), so detection runs in DECLARATION-ORDER
+            # coordinates: each latent's position among ALL continuous
+            # RVs as declared — a row-major grid keeps its {±1, ±W}
+            # template there, and the embedded state just carries inert
+            # zero lanes at evidence positions (ops/dia.py).
+            if var_overrides is None:
+                from lhvi_tpu.ops.dia import ell_to_dia
+
+                full_pos = np.empty(n_cont, np.int64)
+                kfull = 0
+                for rv in g.rvs:
+                    if rv.domain.continuous:
+                        kind, ii = meta.index[id(rv)]
+                        if kind == "c":
+                            full_pos[ii] = kfull
+                        kfull += 1
+                dia = ell_to_dia(col_np, w_np, pos=full_pos)
+                if dia is not None:
+                    from lhvi_tpu.ops.dia import pos_to_inv
+
+                    quad_dia_offsets = dia[0]
+                    quad_dia_w = jnp.asarray(dia[1])
+                    if dia[2] is not None:
+                        quad_dia_pos = jnp.asarray(dia[2], jnp.int32)
+                        quad_dia_inv = jnp.asarray(
+                            pos_to_inv(dia[2], n_cont))
     if has_quad and not quad_sparse:
         J, h, c = accumulate_information_form(
             fused_factors, meta, n_cont, scales=scales
@@ -823,6 +866,10 @@ def compile_graph(
         quad_ell_col=quad_ell_col,
         quad_ell_w=quad_ell_w,
         quad_sparse=quad_sparse,
+        quad_dia_offsets=quad_dia_offsets,
+        quad_dia_w=quad_dia_w,
+        quad_dia_pos=quad_dia_pos,
+        quad_dia_inv=quad_dia_inv,
     )
 
 
