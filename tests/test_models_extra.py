@@ -112,3 +112,34 @@ def test_engine_comparison_script_smoke(tmp_path):
            if '"point"' in line]
     assert {p["engine"] for p in pts} == {"vi", "lbp"}
     assert all(p["mean_err_avg"] is not None for p in pts)
+
+
+def test_pod_scale_script_emits_scaling_event(tmp_path):
+    """The pod-scale scaling harness (VERDICT r4 #6) runs end-to-end on
+    the virtual CPU mesh and emits the `scaling` efficiency event plus
+    per-config convergence events carrying the discrete split-R̂ fields."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "pod.jsonl"
+    r = subprocess.run(
+        [sys.executable, "run_pod_scale.py", "--cpu", "--fast",
+         "--n-people", "60", "--n-chains", "16", "--chunk", "4",
+         "--metrics-path", str(out)],
+        cwd=os.path.join(repo, "examples"),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    evs = [json.loads(line) for line in out.read_text().splitlines()]
+    by = {}
+    for e in evs:
+        by.setdefault(e["event"], []).append(e)
+    scal = by.get("scaling")
+    assert scal and scal[0]["devices"] == 8
+    assert 0.0 < scal[0]["efficiency"]
+    conv = by.get("convergence")
+    assert conv and all("rhat_disc_max" in c and c["n_disc_monitored"] > 0
+                        for c in conv)
