@@ -119,18 +119,55 @@ def tpu_throughput(g):
         float(out["mean"][0])
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]  # median of 3
+    global LAST_SPREAD
+    LAST_SPREAD = round((max(times) - min(times)) / max(dt, 1e-9), 3)
     return N_CHAINS * N_ITERS_TPU / dt, diag
+
+
+# relative rep spread ((max−min)/median) of the most recent _timed call —
+# the main loop snapshots it per metric into the JSON line so the driver
+# can tell a noisy measurement from a tight one
+LAST_SPREAD = None
 
 
 def _timed(fn, sync, reps=3):
     """Median-of-``reps`` wall time of ``fn(rep)`` with honest host sync."""
+    global LAST_SPREAD
     sync(fn(0))  # warm-up: same static shapes, so timed calls are exec-only
     times = []
     for rep in range(reps):
         t0 = time.perf_counter()
         sync(fn(1 + rep))
         times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2]
+    med = sorted(times)[len(times) // 2]
+    LAST_SPREAD = round((max(times) - min(times)) / max(med, 1e-9), 3)
+    return med
+
+
+def calib_matmul_ms():
+    """Calibration sentinel (VERDICT r4 #3): median-of-3 wall time of a
+    PINNED reference workload — 24 chained 2048² f32 matmuls — with the
+    same host-sync discipline as every metric. The workload never
+    changes across rounds, so round-over-round movement in this number
+    measures the BOX (tunnel latency, host contention, TPU clock state),
+    not the code; the decision rule lives in docs/PERF.md ("bench
+    calibration sentinel")."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((2048, 2048), jnp.float32) * 1e-3
+
+    @jax.jit
+    def work(a):
+        def body(_, x):
+            return x @ a * 1e-3 + 1.0
+        return jax.lax.fori_loop(0, 24, body, a)
+
+    def run(rep):
+        return work(a + rep * 1e-6)
+
+    dt = _timed(run, lambda out: float(out[0, 0]))
+    return dt * 1e3
 
 
 def nuts_throughput(g):
@@ -372,16 +409,27 @@ def main():
         }))
         return
 
+    global LAST_SPREAD
     import jax
 
+    spreads = {}
+    # calibration sentinel FIRST: pins the box state the metrics below
+    # were captured in (decision rule: docs/PERF.md)
+    try:
+        calib_start = round(calib_matmul_ms(), 2)
+    except Exception:  # noqa: BLE001
+        calib_start = None
     g = build_model()
     tpu_sps, diag = tpu_throughput(g)
+    if LAST_SPREAD is not None:
+        spreads["headline"] = LAST_SPREAD
     base_sps = numpy_baseline(g)
     out = {
         "metric": "hmc_grid10x10_samples_per_s_per_chip",
         "value": round(tpu_sps, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(tpu_sps / base_sps, 2),
+        "calib_matmul_ms": calib_start,
     }
     # extra BASELINE metrics — each phase drops its executables afterwards
     # (many large resident programs can crash this environment's TPU worker)
@@ -404,11 +452,42 @@ def main():
          lambda: pod_gibbs_throughput(n_people=1000, n_chains=8, chunk=1)),
     ):
         try:
+            LAST_SPREAD = None
             out[name] = round(fn(), 1)
+            if LAST_SPREAD is not None:
+                spreads[name] = LAST_SPREAD
         except Exception as e:  # noqa: BLE001 — keep the driver line intact
             out[name] = None
             print(f"# {name} failed: {e!r}"[:300], file=sys.stderr)
+            if "UNAVAILABLE" in repr(e) or "crashed" in repr(e):
+                # the tunneled TPU worker takes ~5 min to restart after a
+                # crash (memory: observed rounds 1–5); wait once and retry
+                # this metric so one crash doesn't null out the whole tail
+                print(f"# waiting 300 s for worker restart, retrying "
+                      f"{name}", file=sys.stderr)
+                time.sleep(300)
+                jax.clear_caches()
+                try:
+                    out[name] = round(fn(), 1)
+                    if LAST_SPREAD is not None:
+                        spreads[name] = LAST_SPREAD
+                except Exception as e2:  # noqa: BLE001
+                    print(f"# {name} retry failed: {e2!r}"[:300],
+                          file=sys.stderr)
         jax.clear_caches()
+    # sentinel again at the END: a start/end disagreement means the box
+    # state CHANGED mid-run (contention arrived/left), flagging which
+    # metrics are suspect
+    try:
+        out["calib_matmul_ms_end"] = round(calib_matmul_ms(), 2)
+    except Exception:  # noqa: BLE001
+        try:  # one wait-and-retry: a crashed worker needs ~5 min back up
+            time.sleep(300)
+            jax.clear_caches()
+            out["calib_matmul_ms_end"] = round(calib_matmul_ms(), 2)
+        except Exception:  # noqa: BLE001
+            out["calib_matmul_ms_end"] = None
+    out["rep_spread"] = spreads
     print(json.dumps(out))
 
 
