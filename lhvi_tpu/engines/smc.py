@@ -300,9 +300,30 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
                 # leapfrog (explicit ∇ = h − Jx matvec; autodiff through
                 # the gather would lower to scatter-adds on the backward
                 # pass). Endpoint gradients give both energies for free.
+                # BANDED targets ride the DIA whole-trajectory proposal
+                # instead. The β-blend happens in LATENT space before
+                # the gather-embedding, so the prior's (1−β)/s² diagonal
+                # never lands on evidence gap lanes (the sentinel column
+                # zeroes them). Note: the TPU proposal's momenta come
+                # from the in-kernel PRNG — a different stream than the
+                # jax.random fallback (ops/dia.py).
+                from lhvi_tpu.ops.dia import DIA_MAX_EMB, dia_hmc_proposal
                 from lhvi_tpu.ops.leapfrog import ell_quad_leapfrog
 
                 s2 = cfg.base_scale ** 2
+                if (fg.quad_dia_offsets is not None
+                        and fg.quad_dia_w.shape[1] <= DIA_MAX_EMB):
+                    diag_b = beta * fg.quad_diag + (1.0 - beta) / s2
+                    hb = beta * fg.quad_h + (1.0 - beta) * mid / s2
+                    x1, log_acc = dia_hmc_proposal(
+                        km, xc, diag_b, fg.quad_dia_offsets,
+                        beta * fg.quad_dia_w, hb, jnp.ones(fg.n_cont),
+                        step, cfg.n_leapfrog,
+                        pos=fg.quad_dia_pos, inv=fg.quad_dia_inv,
+                        shard=shard,
+                    )
+                    ok = jnp.log(jax.random.uniform(ka, (N,))) < log_acc
+                    return jnp.where(ok[:, None], x1, xc), ok
                 diag_b = beta * fg.quad_diag + (1.0 - beta) / s2
                 w_b = beta * fg.quad_ell_w
                 hb = beta * fg.quad_h + (1.0 - beta) * mid / s2
