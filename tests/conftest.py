@@ -21,3 +21,19 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after every test module.
+
+    The XLA CPU client segfaults (inside ``backend_compile_and_load``)
+    once a single process accumulates roughly 230+ tests' worth of live
+    compiled programs — observed reproducibly in round 5 at whatever
+    test happened to compile next, independent of that test's content.
+    Clearing per module keeps the live-executable count bounded; the
+    persistent on-disk compile cache makes the re-traces cheap."""
+    yield
+    jax.clear_caches()

@@ -81,9 +81,13 @@ def test_streamed_rhat_detects_nonconvergence():
     offs = np.where(np.arange(C) < C // 2, 5.0, -5.0)[:, None]
     sd = _stream_diag_init(C, n)
     xs = rng.normal(0, 0.3, (S, C, n)) + offs[None]
+    # drive under ONE jitted update: an eager lax.cond loop compiles a
+    # fresh executable per iteration (branch closures bake the changing
+    # accumulators in as constants) — hundreds of such executables
+    # segfaulted the XLA CPU client late in the full suite
+    upd = jax.jit(lambda sd, t, x: _stream_diag_update(sd, t, x, S // 2))
     for t in range(S):
-        sd = _stream_diag_update(sd, jnp.asarray(t), jnp.asarray(
-            xs[t], jnp.float32), S // 2)
+        sd = upd(sd, jnp.asarray(t), jnp.asarray(xs[t], jnp.float32))
     out = _stream_diag_finalize(sd, S)
     ref = np.asarray(split_rhat(jnp.asarray(xs, jnp.float32)))
     np.testing.assert_allclose(np.asarray(out["rhat"]), ref, rtol=1e-3)

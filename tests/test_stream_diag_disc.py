@@ -93,9 +93,12 @@ def test_rhat_disc_detects_stuck_chains():
     xs[:, :, 1] = rng.integers(0, 2, (S, C))
     xs[:, :, 2] = 1.0
     sdd = _stream_diag_disc_init(C, n)
+    # jitted driver — see the eager-cond executable-explosion note in
+    # test_stream_diag.py::test_streamed_rhat_detects_nonconvergence
+    upd = jax.jit(
+        lambda sdd, t, x: _stream_diag_disc_update(sdd, t, x, S // 2))
     for t in range(S):
-        sdd = _stream_diag_disc_update(
-            sdd, jnp.asarray(t), jnp.asarray(xs[t]), S // 2)
+        sdd = upd(sdd, jnp.asarray(t), jnp.asarray(xs[t]))
     out = np.asarray(_stream_diag_disc_finalize(sdd, S)["rhat_disc"])
     assert out[0] > 2.0, out
     assert out[1] < 1.2, out
