@@ -193,9 +193,16 @@ def main():
                         np.asarray(diag["ess_proxy"]))), 1),
                     # discrete-value split-R̂ over the color-stratified
                     # monitored subset (VERDICT r4 #1: the 102k discrete
-                    # latents are the flagship's actual state)
+                    # latents are the flagship's actual state). The max
+                    # SATURATES on any var frozen at chain-specific
+                    # values (W→0); the fraction above 1.1 is the
+                    # interpretable mode-locking measure (docs/PERF.md
+                    # round 5 "discrete mode-locking").
                     rhat_disc_max=(round(float(np.nanmax(rhat_d)), 4)
                                    if np.isfinite(rhat_d).any() else None),
+                    rhat_disc_frac_gt_1p1=(
+                        round(float(np.mean(rhat_d > 1.1)), 4)
+                        if np.isfinite(rhat_d).any() else None),
                     n_disc_monitored=int(
                         np.asarray(diag.get("disc_diag_idx", [])).size),
                     accept=round(float(diag["accept_rate"]), 3))
@@ -258,9 +265,14 @@ def main():
                            if has_rhat and np.isfinite(ess).any()
                            else None),
             # full-run discrete convergence evidence (color-stratified
-            # monitored subset; accumulators ride the orbax payload)
+            # monitored subset; accumulators ride the orbax payload).
+            # max saturates on frozen-disagreeing vars; the >1.1
+            # fraction measures mode-locking (docs/PERF.md r5)
             rhat_disc_max=(round(float(np.nanmax(rhat_d)), 4)
                            if np.isfinite(rhat_d).any() else None),
+            rhat_disc_frac_gt_1p1=(
+                round(float(np.mean(rhat_d > 1.1)), 4)
+                if np.isfinite(rhat_d).any() else None),
             n_disc_monitored=int(
                 np.asarray(res.diag.get("disc_diag_idx", [])).size),
             ess_bm_min=(round(float(np.nanmin(ess_bm)), 1)
