@@ -55,6 +55,12 @@ class HMCConfig:
     # whose offsets form a small static set (ops/dia.py); False keeps the
     # ELL gather·FMA path for A/B measurement
     dia_kernel: bool = struct.field(pytree_node=False, default=True)
+    # orbit-level mode-swap MH move after each Gibbs stage
+    # (engines/modeswap.py): unlocks symmetric joint modes that
+    # single-site chromatic Gibbs cannot cross (the pod flagship's
+    # frozen ferromagnetic smokes clique — docs/PERF.md round 5).
+    # run_hmc/run_nuts build the orbit plan on demand when enabled.
+    mode_swap: bool = struct.field(pytree_node=False, default=False)
 
 
 class HMCState(NamedTuple):
@@ -68,6 +74,11 @@ class HMCState(NamedTuple):
     welford_m2: Array
     welford_n: Array
     inv_mass: Array  # [n_cont] diagonal
+    # mode-swap move acceptance accumulators (scalars; stay 0 when the
+    # move is off) — ride the checkpoint payload so the production
+    # convergence evidence survives preemption (resumable fmt 4)
+    ms_acc_sum: Array
+    ms_acc_n: Array
 
 
 def _leapfrog(logp, xc, p, eps, inv_mass, n_steps):
@@ -660,8 +671,15 @@ def hmc_transition(fg: CompiledFG, cfg: HMCConfig, state: HMCState, key,
                    adapt: bool):
     """One full HMC-within-Gibbs transition for all chains; the unit the
     run/warmup scans and the checkpointed driver are built from."""
-    k_g, k_h = jax.random.split(key)
+    k_g, k_h, k_ms = jax.random.split(key, 3)
     xd = sweep_all(fg, cfg, k_g, state.xc, state.xd)
+    if cfg.mode_swap and fg.mode_swap_plan is not None:
+        from lhvi_tpu.engines.modeswap import mode_swap_sweep
+
+        xd, ms_acc = mode_swap_sweep(fg, k_ms, state.xc, xd,
+                                     fg.mode_swap_plan)
+        state = state._replace(ms_acc_sum=state.ms_acc_sum + ms_acc,
+                               ms_acc_n=state.ms_acc_n + 1.0)
     eps = jnp.exp(state.log_eps)
     xc, acc = _hmc_step_batched(fg, cfg, k_h, state.xc, xd, eps,
                                 state.inv_mass)
@@ -688,6 +706,8 @@ def init_hmc_state(fg: CompiledFG, key, cfg: HMCConfig, n_chains: int,
         welford_m2=jnp.zeros(fg.n_cont),
         welford_n=jnp.zeros(()),
         inv_mass=jnp.ones(fg.n_cont),
+        ms_acc_sum=jnp.zeros(()),
+        ms_acc_n=jnp.zeros(()),
     )
 
 
@@ -756,6 +776,28 @@ def _welford_update(state: HMCState, xc):
     return state._replace(welford_mean=mean, welford_m2=m2, welford_n=n_new)
 
 
+def _ensure_mode_swap_plan(fg: CompiledFG, cfg):
+    """Attach the orbit mode-swap plan when the move is enabled (host-side,
+    one-time per model — the refinement is the same pass ``fast_lift``
+    runs). Falls back to the plain sweep, with a warning, on models whose
+    refinement leaves no multi-member class."""
+    if not getattr(cfg, "mode_swap", False) or fg.mode_swap_plan is not None:
+        return fg, cfg
+    from lhvi_tpu.engines.modeswap import build_mode_swap_plan
+
+    plan = build_mode_swap_plan(fg)
+    if plan is None:
+        import warnings
+
+        warnings.warn(
+            "mode_swap=True but color refinement found no discrete class "
+            "with >=2 members — the move is a no-op on this model; "
+            "running plain chromatic Gibbs.", stacklevel=3,
+        )
+        return fg, cfg.replace(mode_swap=False)
+    return fg.replace(mode_swap_plan=plan), cfg
+
+
 def run_hmc(
     fg: CompiledFG,
     key: Array,
@@ -803,6 +845,7 @@ def run_hmc(
                  and disc_diag_cap > 0)
     disc_sel = (tuple(int(i) for i in disc_diag_select(fg, disc_diag_cap))
                 if want_disc else None)
+    fg, cfg = _ensure_mode_swap_plan(fg, cfg)
     return _run_hmc(fg, key, cfg, n_chains=n_chains, n_warmup=n_warmup,
                     n_samples=n_samples, thin=thin, collect=collect,
                     shard=shard, stream_diag=stream_diag,
@@ -898,6 +941,9 @@ def _run_hmc(
             "accept_rate": jnp.mean(accs),
             "step_size": jnp.exp(state.log_eps),
             "inv_mass": state.inv_mass,
+            **({"mode_swap_accept":
+                state.ms_acc_sum / jnp.maximum(state.ms_acc_n, 1.0)}
+               if cfg.mode_swap else {}),
             **(_stream_diag_finalize(sd, n_samples, bm_len)
                if stream_diag else {}),
             **(_stream_diag_disc_finalize(sdd, n_samples)
@@ -914,6 +960,9 @@ def _run_hmc(
         "accept_rate": jnp.mean(accs),
         "step_size": jnp.exp(state.log_eps),
         "inv_mass": state.inv_mass,
+        **({"mode_swap_accept":
+            state.ms_acc_sum / jnp.maximum(state.ms_acc_n, 1.0)}
+           if cfg.mode_swap else {}),
     }
     return s_xc, s_xd, diag
 

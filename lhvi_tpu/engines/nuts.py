@@ -62,6 +62,9 @@ class NUTSConfig:
     # chain-axis NamedSharding, stamped by run_nuts(shard=...); consumed
     # by the Pallas trajectory dispatch (hashable -> valid static field)
     shard: object = struct.field(pytree_node=False, default=None)
+    # orbit-level mode-swap MH move after the Gibbs stage (see
+    # HMCConfig.mode_swap / engines/modeswap.py)
+    mode_swap: bool = struct.field(pytree_node=False, default=False)
 
     def to_hmc(self) -> "_hmc.HMCConfig":
         """The HMCConfig sharing this config's warmup/Gibbs fields — the
@@ -75,6 +78,7 @@ class NUTSConfig:
             adapt_mass=self.adapt_mass,
             jitter=self.jitter,
             gibbs_unroll=self.gibbs_unroll,
+            mode_swap=self.mode_swap,
         )
 
 
@@ -377,9 +381,16 @@ def nuts_transition(fg: CompiledFG, cfg: NUTSConfig, state: "_hmc.HMCState",
     ``(state, (acc [C], depth [C], div [C]))`` — the unit the run/warmup
     scans and the checkpointed driver are built from."""
     hcfg = cfg.to_hmc()
-    k_g, k_n = jax.random.split(key)
+    k_g, k_n, k_ms = jax.random.split(key, 3)
     xd = (_hmc.sweep_all(fg, hcfg, k_g, state.xc, state.xd)
           if fg.n_disc else state.xd)
+    if cfg.mode_swap and fg.mode_swap_plan is not None:
+        from lhvi_tpu.engines.modeswap import mode_swap_sweep
+
+        xd, ms_acc = mode_swap_sweep(fg, k_ms, state.xc, xd,
+                                     fg.mode_swap_plan)
+        state = state._replace(ms_acc_sum=state.ms_acc_sum + ms_acc,
+                               ms_acc_n=state.ms_acc_n + 1.0)
     if fg.n_cont == 0:
         C = state.xc.shape[0]
         state = state._replace(xd=xd)
@@ -421,6 +432,7 @@ def run_nuts(
     disc_sel = (tuple(int(i)
                       for i in _hmc.disc_diag_select(fg, disc_diag_cap))
                 if want_disc else None)
+    fg, cfg = _hmc._ensure_mode_swap_plan(fg, cfg)
     return _run_nuts(fg, key, cfg, n_chains=n_chains, n_warmup=n_warmup,
                      n_samples=n_samples, thin=thin, collect=collect,
                      shard=shard, stream_diag=stream_diag,
@@ -528,6 +540,9 @@ def _run_nuts(
             "divergence_rate": jnp.mean(divs),
             "step_size": jnp.exp(state.log_eps),
             "inv_mass": state.inv_mass,
+            **({"mode_swap_accept":
+                state.ms_acc_sum / jnp.maximum(state.ms_acc_n, 1.0)}
+               if cfg.mode_swap else {}),
             **(_hmc._stream_diag_finalize(sd, n_samples, bm_len)
                if stream_diag else {}),
             **(_hmc._stream_diag_disc_finalize(sdd, n_samples)
@@ -552,6 +567,9 @@ def _run_nuts(
         "divergence_rate": jnp.mean(divs),
         "step_size": jnp.exp(state.log_eps),
         "inv_mass": state.inv_mass,
+        **({"mode_swap_accept":
+            state.ms_acc_sum / jnp.maximum(state.ms_acc_n, 1.0)}
+           if cfg.mode_swap else {}),
     }
     return s_xc, s_xd, diag
 

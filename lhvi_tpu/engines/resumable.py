@@ -62,8 +62,10 @@ def _payload_to_host(state, sums, chunks_done: int, n_chains: int,
         # payload schema version — bump whenever the accumulator LAYOUT
         # changes (a positional re-interpretation would be silently wrong;
         # fmt 3 = 9-array _StreamDiag incl. the batch-means block, plus
-        # the 4-array _StreamDiagDisc discrete-value split-R̂ stream)
-        "fmt": 3,
+        # the 4-array _StreamDiagDisc discrete-value split-R̂ stream;
+        # fmt 4 = HMCState grew the mode-swap acceptance scalars
+        # ms_acc_sum/ms_acc_n)
+        "fmt": 4,
     }
 
 
@@ -105,6 +107,7 @@ def sample_checkpointed(
 
     if engine == "hmc":
         cfg = cfg or _hmc.HMCConfig()
+        fg, cfg = _hmc._ensure_mode_swap_plan(fg, cfg)
         if shard is not None:
             if cfg.fused_logpot:
                 # non-quad fused kernel: reductions stay on the XLA path
@@ -119,6 +122,7 @@ def sample_checkpointed(
 
     elif engine == "nuts":
         cfg = cfg or _nuts.NUTSConfig()
+        fg, cfg = _hmc._ensure_mode_swap_plan(fg, cfg)
         if shard is not None:
             # Pallas trajectory kernel dispatches per shard via shard_map
             # (same rule as run_nuts)
@@ -215,10 +219,10 @@ def sample_checkpointed(
                 f"checkpoint has n_chains={payload['n_chains']}, "
                 f"requested {n_chains}"
             )
-        if payload.get("fmt") != 3:
+        if payload.get("fmt") != 4:
             raise ValueError(
                 f"checkpoint at {ckpt_dir!r} has payload format "
-                f"{payload.get('fmt')!r} (expected 3): it was written by "
+                f"{payload.get('fmt')!r} (expected 4): it was written by "
                 "an incompatible lhvi_tpu version. Finalize it with the "
                 "version that wrote it, or restart the run."
             )
@@ -343,6 +347,9 @@ def sample_checkpointed(
         "accept_rate": acc_sum / n_samples,
         "step_size": jnp.exp(state.log_eps),
         "inv_mass": state.inv_mass,
+        **({"mode_swap_accept":
+            state.ms_acc_sum / jnp.maximum(state.ms_acc_n, 1.0)}
+           if getattr(cfg, "mode_swap", False) else {}),
         **_hmc._stream_diag_finalize(sd, n_samples, bm_len),
         **(_hmc._stream_diag_disc_finalize(sdd, n_samples)
            if n_sel else {}),

@@ -77,6 +77,10 @@ class SMCConfig:
     ess_target: float = struct.field(pytree_node=False, default=0.9)
     target_accept: float = struct.field(pytree_node=False, default=0.65)
     rm_gain: float = struct.field(pytree_node=False, default=0.5)
+    # orbit-level mode-swap MH move after each tempered Gibbs stage (see
+    # hmc.HMCConfig.mode_swap / engines/modeswap.py) — accepted against
+    # π^β, matching the tempered Gibbs logits
+    mode_swap: bool = struct.field(pytree_node=False, default=False)
 
 
 class SMCState(NamedTuple):
@@ -169,6 +173,9 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
     permute collectives, all inserted by XLA.
     """
     N = cfg.n_particles
+    from lhvi_tpu.engines.hmc import _ensure_mode_swap_plan
+
+    fg, cfg = _ensure_mode_swap_plan(fg, cfg)
     if shard is not None and cfg.fused_logpot:
         # a pallas_call does not SPMD-partition: keep rejuvenation moves
         # on the XLA path so the particle axis stays distributed (same
@@ -383,6 +390,13 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
                         return out
 
                     xd = jax.vmap(gibbs_one)(jax.random.split(kg, N), xc, xd)
+                if cfg.mode_swap and fg.mode_swap_plan is not None:
+                    from lhvi_tpu.engines.modeswap import mode_swap_sweep
+
+                    xd, _ = mode_swap_sweep(
+                        fg, jax.random.fold_in(kg, 1), xc, xd,
+                        fg.mode_swap_plan, beta=beta,
+                    )
             return (xc, xd), jnp.mean(acc.astype(jnp.float32))
 
         (xc, xd), accs = jax.lax.scan(

@@ -314,6 +314,12 @@ class CompiledFG:
     quad_dia_w: Any = None
     quad_dia_pos: Any = None
     quad_dia_inv: Any = None  # i32 [n_emb] inverse map (gather-embeds)
+    # --- mode-swap move plan (engines/modeswap.py) ----------------------
+    # orbit-grouped discrete latents for the block value-permutation MH
+    # move that unlocks symmetric modes single-site chromatic Gibbs
+    # cannot cross (ModeSwapPlan | None; built on demand by
+    # ``modeswap.build_mode_swap_plan`` and attached via ``.replace``)
+    mode_swap_plan: Any = None
 
     # ------------------------------------------------------------------
     @property
@@ -408,6 +414,25 @@ class CompiledFG:
         if self.has_quad:
             total = total + self.quad_log_prob_batched(xc)
         for i in self.cont_bucket_idx:
+            total = total + self._bucket_logp_batched(i, xc, xd)
+        return total
+
+    @property
+    def disc_bucket_idx(self) -> Tuple[int, ...]:
+        """Surviving buckets whose kernels actually read ``xd``."""
+        return tuple(i for i in self.lp_bucket_idx if self.buckets[i].ad > 0)
+
+    def log_prob_disc_batched(self, xc: Array, xd: Array) -> Array:
+        """``[C]`` discrete-state-dependent part of ``log_prob``.
+
+        Dual of :meth:`log_prob_cont_batched`: sums only the buckets that
+        reference ``xd`` (fused quadratic and continuous-only buckets are
+        constant in ``xd``). Exact for discrete-update MH ratios at fixed
+        ``xc`` — the mode-swap move's accept computation
+        (``engines/modeswap.py``) skips the continuous factor load.
+        """
+        total = jnp.zeros((xd.shape[0],), jnp.float32)
+        for i in self.disc_bucket_idx:
             total = total + self._bucket_logp_batched(i, xc, xd)
         return total
 
