@@ -41,6 +41,20 @@ def main():
                         "state carry, since removed). Drop back to 1 "
                         "for 1M-latent runs if the worker's compiler "
                         "chokes on the longer scan program")
+    parser.add_argument("--mode-swap", type=lambda s: s.lower() in
+                        ("1", "true", "yes"), default=True,
+                        help="collapsed orbit-flip MH move after each "
+                        "Gibbs sweep (engines/modeswap.py) — the "
+                        "production default since round 5: without it "
+                        "the ferromagnetic smokes clique freezes per "
+                        "chain and rhat_disc saturates (docs/PERF.md "
+                        "'discrete mode-locking')")
+    parser.add_argument("--mode-swap-every", type=int, default=1,
+                        help="apply the mode-swap move with probability "
+                        "1/k per transition (random-scan mixture, still "
+                        "exact) — amortizes its two conditional-logit "
+                        "passes; a locked chain accepts its first "
+                        "proposal, so k=4 barely delays unlocking")
     parser.add_argument("--fast", action="store_true",
                         help="ground via the vectorized relational→IR "
                         "compiler (relational/fast.py) — no per-ground "
@@ -149,7 +163,24 @@ def main():
     # chromatic sweeps at O(Σ deg) kernel-row cost per sweep (the legacy
     # rotated all-rows path needed gibbs_max_colors=4 to stay affordable
     # and still cost ~40x more per iteration while updating ~1% of vars)
-    hcfg = hmc.HMCConfig(n_leapfrog=6, init_step_size=0.1)
+    hcfg = hmc.HMCConfig(n_leapfrog=6, init_step_size=0.1,
+                         mode_swap=args.mode_swap,
+                         mode_swap_every=args.mode_swap_every)
+    if args.mode_swap:
+        # build + attach the orbit plan ONCE (refine_ir costs seconds at
+        # pod scale; run_hmc would otherwise hit the plan cache per call
+        # — attaching it here also logs what the move will flip)
+        from lhvi_tpu.engines.modeswap import plan_for
+
+        t0 = time.perf_counter()
+        plan = plan_for(fg)
+        if plan is not None:
+            fg = fg.replace(mode_swap_plan=plan)
+            log.log("mode_swap_plan", n_groups=plan.n_groups,
+                    group_width=plan.n_vars,
+                    wall_s=round(time.perf_counter() - t0, 2))
+        else:
+            log.log("mode_swap_plan", n_groups=0)
 
     def measure(shard, n_chains, tag, _retry=True):
         # short dispatches: this environment kills single device executions
@@ -277,6 +308,9 @@ def main():
                 np.asarray(res.diag.get("disc_diag_idx", [])).size),
             ess_bm_min=(round(float(np.nanmin(ess_bm)), 1)
                         if np.isfinite(ess_bm).any() else None),
+            mode_swap_accept=(
+                round(float(res.diag["mode_swap_accept"]), 4)
+                if "mode_swap_accept" in res.diag else None),
         )
         if vi_params_host is not None:
             from lhvi_tpu.utils.checkpoint import CheckpointManager

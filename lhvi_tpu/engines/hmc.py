@@ -61,6 +61,9 @@ class HMCConfig:
     # frozen ferromagnetic smokes clique — docs/PERF.md round 5).
     # run_hmc/run_nuts build the orbit plan on demand when enabled.
     mode_swap: bool = struct.field(pytree_node=False, default=False)
+    # apply the move with probability 1/every per transition (random-scan
+    # mixture — exact; amortizes the two logit passes, docs/PERF.md r5)
+    mode_swap_every: int = struct.field(pytree_node=False, default=1)
 
 
 class HMCState(NamedTuple):
@@ -262,22 +265,28 @@ def gibbs_sweep_planned(fg: CompiledFG, key: Array, xc: Array,
 
 def planned_logits(fg: CompiledFG, xc: Array, xd: Array) -> Array:
     """Assemble ``disc_logits``-shaped ``[n_disc, V]`` logits from the
-    color plan at a FIXED state (no sequential updates) — the exact-identity
-    hook used by tests to prove the plan matches ``CompiledFG.disc_logits``."""
+    color plan at a FIXED state (no sequential updates).
+
+    Scans the per-color tables exactly like ``gibbs_sweep_planned`` (one
+    program per cost-group, per-color peak memory ~ that color's adjacent
+    rows), so it stays compilable — and vmappable over a chain axis —
+    at pod scale, where the all-rows ``disc_logits`` pass materializes
+    candidate tensors the worker cannot hold (the mode-swap move's logit
+    backend, docs/PERF.md round 5). Also the exact-identity hook used by
+    tests to prove the plan matches ``CompiledFG.disc_logits``."""
     V = fg.max_v
     out = jnp.zeros((fg.n_disc + 1, V))
     xv = (None if fg.color_plan.values_are_indices
           else state_values(fg, xd))
     for grp in fg.color_plan.groups:
-        for j in range(grp.n_colors):
-            tabs = tuple(
-                None if t is None else jax.tree_util.tree_map(
-                    lambda a: a[j], t
-                )
-                for t in grp.bucket_tabs
-            )
-            lg = _color_class_logits(fg, grp, tabs, xc, xd, xv)
-            out = out.at[grp.vars_[j]].set(lg, mode="drop")
+
+        def step(out, s, grp=grp):
+            lg = _color_class_logits(fg, grp, s["tabs"], xc, xd, xv)
+            out = out.at[s["vars"]].set(lg, mode="drop")
+            return out, None
+
+        xs = {"vars": grp.vars_, "tabs": grp.bucket_tabs}
+        out, _ = jax.lax.scan(step, out, xs)
     out = out[: fg.n_disc]
     valid = (
         jnp.arange(V, dtype=jnp.int32)[None, :] < fg.disc_sizes[:, None]
@@ -674,12 +683,11 @@ def hmc_transition(fg: CompiledFG, cfg: HMCConfig, state: HMCState, key,
     k_g, k_h, k_ms = jax.random.split(key, 3)
     xd = sweep_all(fg, cfg, k_g, state.xc, state.xd)
     if cfg.mode_swap and fg.mode_swap_plan is not None:
-        from lhvi_tpu.engines.modeswap import mode_swap_sweep
+        from lhvi_tpu.engines.modeswap import maybe_mode_swap
 
-        xd, ms_acc = mode_swap_sweep(fg, k_ms, state.xc, xd,
-                                     fg.mode_swap_plan)
+        xd, ms_acc, n_inc = maybe_mode_swap(fg, cfg, k_ms, state.xc, xd)
         state = state._replace(ms_acc_sum=state.ms_acc_sum + ms_acc,
-                               ms_acc_n=state.ms_acc_n + 1.0)
+                               ms_acc_n=state.ms_acc_n + n_inc)
     eps = jnp.exp(state.log_eps)
     xc, acc = _hmc_step_batched(fg, cfg, k_h, state.xc, xd, eps,
                                 state.inv_mass)
@@ -783,9 +791,9 @@ def _ensure_mode_swap_plan(fg: CompiledFG, cfg):
     refinement leaves no multi-member class."""
     if not getattr(cfg, "mode_swap", False) or fg.mode_swap_plan is not None:
         return fg, cfg
-    from lhvi_tpu.engines.modeswap import build_mode_swap_plan
+    from lhvi_tpu.engines.modeswap import plan_for
 
-    plan = build_mode_swap_plan(fg)
+    plan = plan_for(fg)
     if plan is None:
         import warnings
 

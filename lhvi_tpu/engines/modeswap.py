@@ -53,6 +53,7 @@ No scatters, static shapes; GSPMD partitions the chain axis natively.
 
 from __future__ import annotations
 
+import weakref
 from typing import Optional, Tuple
 
 import jax
@@ -73,17 +74,22 @@ class ModeSwapPlan:
     ``vars_[g]`` holds the group's global discrete ids padded with
     ``n_disc``; ``vmax[g]`` the shared domain size (orbit members share a
     domain — refinement seeds on domain identity); ``f_mask[g]`` marks
-    the group's collapsed independent neighbor set; ``w_direct`` carries,
-    per bucket of ``fg.disc_bucket_idx``, the row weights of the direct
-    term (= bucket scale with F-touching rows zeroed) stacked ``[G, R]``.
+    the group's collapsed independent neighbor set; ``w_direct`` carries
+    row weights for the direct term of the buckets in ``direct_buckets``
+    stacked ``[G, R]`` — only rows touching G but no F member (rows
+    touching F live inside the F logits; rows touching neither G nor F
+    cancel in the accept delta), with all-zero buckets dropped statically
+    (on the pod model this shrinks the direct evaluation from ~300k rows
+    to the 320 stress-link rows).
     """
 
     n_groups: int = struct.field(pytree_node=False)
     n_vars: int = struct.field(pytree_node=False)  # padded group width
+    direct_buckets: Tuple = struct.field(pytree_node=False, default=())
     vars_: Array = None  # i32 [G, M] (pad = n_disc)
     vmax: Array = None  # i32 [G]
     f_mask: Array = None  # bool [G, n_disc]
-    w_direct: Tuple = ()  # per disc-bucket f32 [G, R]
+    w_direct: Tuple = ()  # per kept bucket f32 [G, R]
 
 
 def _row_latents(np_b):
@@ -91,6 +97,23 @@ def _row_latents(np_b):
     bucket mirror."""
     real = np.nonzero(np_b["scale"] > 0)[0]
     return real, np_b["disc_idx"][real], np_b["disc_mask"][real] > 0
+
+
+# plan cache keyed by the graph's (identity-hashed) meta: engines call
+# build via run_hmc/run_nuts/run_smc on every dispatch, and the host-side
+# refinement costs seconds at pod scale — build once per compiled model.
+# WeakKey so a dropped model releases its plan arrays.
+_PLAN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_NO_PLAN = object()
+
+
+def plan_for(fg: CompiledFG) -> Optional[ModeSwapPlan]:
+    """Cached ``build_mode_swap_plan(fg)`` (default parameters)."""
+    hit = _PLAN_CACHE.get(fg.meta)
+    if hit is None:
+        hit = build_mode_swap_plan(fg)
+        _PLAN_CACHE[fg.meta] = hit if hit is not None else _NO_PLAN
+    return None if hit is _NO_PLAN else hit
 
 
 def build_mode_swap_plan(
@@ -207,25 +230,33 @@ def build_mode_swap_plan(
             f_mask[i, f] = True
             blocked[neighbors(f)] = True
 
-    # direct-term row weights: bucket scale with F-touching rows zeroed
-    # (those rows live inside the F logits; rows touching neither G nor F
-    # cancel in the delta, so leaving them weighted is exact)
-    w_direct = []
+    # direct-term row weights: only rows touching G but no F member
+    # survive (F-touching rows live inside the F logits; rows touching
+    # neither G nor F are identical on both sides of the accept delta and
+    # are dropped for speed, which is exact); buckets all-zero across
+    # groups are dropped statically
+    direct_buckets, w_direct = [], []
     for bi in fg.disc_bucket_idx:
         np_b = np_bs[bi]
         scale = np.asarray(np_b["scale"], np.float32)
         didx = np_b["disc_idx"]
         dlat = np_b["disc_mask"] > 0
+        didx_l = np.where(dlat, didx, fg.n_disc)
         w = np.broadcast_to(scale, (G,) + scale.shape).copy()
-        for i in range(G):
+        for i, g in enumerate(groups):
             fm = np.concatenate([f_mask[i], np.zeros(1, bool)])
-            touches = (fm[np.where(dlat, didx, fg.n_disc)]).any(axis=1)
-            w[i, touches] = 0.0
-        w_direct.append(jnp.asarray(w))
+            gm = np.zeros(fg.n_disc + 1, bool)
+            gm[g] = True
+            w[i, fm[didx_l].any(axis=1)] = 0.0
+            w[i, ~gm[didx_l].any(axis=1)] = 0.0
+        if (w != 0.0).any():
+            direct_buckets.append(bi)
+            w_direct.append(jnp.asarray(w))
 
     return ModeSwapPlan(
         n_groups=G,
         n_vars=m,
+        direct_buckets=tuple(direct_buckets),
         vars_=jnp.asarray(vars_),
         vmax=jnp.asarray(vmax),
         f_mask=jnp.asarray(f_mask),
@@ -233,11 +264,12 @@ def build_mode_swap_plan(
     )
 
 
-def _direct_lp(fg: CompiledFG, xc: Array, xd: Array, w_tabs) -> Array:
-    """``[C]`` Σ_rows w·log φ over the discrete buckets with the plan's
-    per-group row weights (F-touching rows zeroed)."""
+def _direct_lp(fg: CompiledFG, xc: Array, xd: Array, w_tabs,
+               bucket_idx) -> Array:
+    """``[C]`` Σ_rows w·log φ over the plan's kept buckets with its
+    per-group row weights (only G-touching, F-free rows carry weight)."""
     total = jnp.zeros((xd.shape[0],), jnp.float32)
-    for w, bi in zip(w_tabs, fg.disc_bucket_idx):
+    for w, bi in zip(w_tabs, bucket_idx):
         b = fg.buckets[bi]
         params, xcs, xdi, xdv = b.gather_args_batched(xc, xd)
         lp = b.kernel(params, xcs, xdi, xdv)  # [C, R]
@@ -274,6 +306,17 @@ def mode_swap_sweep(
     valid = (jnp.arange(V, dtype=jnp.int32)[None, :]
              < fg.disc_sizes[:, None])  # [n_disc, V]
 
+    if fg.color_plan is not None:
+        # per-color scanned assembly: identical logits, but peak memory
+        # per step is one color class's adjacent rows — the all-rows
+        # disc_logits pass materializes [C, R, V, ad] candidate tensors
+        # per slot and kills the pod-scale worker (measured r5)
+        from lhvi_tpu.engines.hmc import planned_logits
+
+        logits_fn = lambda c, d: planned_logits(fg, c, d)
+    else:
+        logits_fn = fg.disc_logits
+
     def temper(L):
         # apply β then re-mask: β=0 must not resurrect invalid values
         return jnp.where(valid[None], beta * L, _NEG_BIG)
@@ -291,13 +334,13 @@ def mode_swap_sweep(
         swapped = jnp.where(xd == a, b_, jnp.where(xd == b_, a, xd))
         xd_p = jnp.where(member[None], swapped, xd)
 
-        L = temper(jax.vmap(fg.disc_logits)(xc, xd))  # [C, n_disc, V]
-        Lp = temper(jax.vmap(fg.disc_logits)(xc, xd_p))
+        L = temper(jax.vmap(logits_fn)(xc, xd))  # [C, n_disc, V]
+        Lp = temper(jax.vmap(logits_fn)(xc, xd_p))
         lse = jax.scipy.special.logsumexp
         S = jnp.sum(fmask[None] * lse(L, axis=-1), axis=-1)  # [C]
         Sp = jnp.sum(fmask[None] * lse(Lp, axis=-1), axis=-1)
-        d0 = _direct_lp(fg, xc, xd, wtabs)
-        d1 = _direct_lp(fg, xc, xd_p, wtabs)
+        d0 = _direct_lp(fg, xc, xd, wtabs, plan.direct_buckets)
+        d1 = _direct_lp(fg, xc, xd_p, wtabs, plan.direct_buckets)
         delta = (Sp - S) + beta * (d1 - d0)
         acc = jnp.log(jax.random.uniform(ku, (C,))) < delta
         # accepted chains: G flipped, F redrawn from the flipped-state
@@ -313,3 +356,28 @@ def mode_swap_sweep(
         (keys, plan.vars_, plan.vmax, plan.f_mask, plan.w_direct),
     )
     return xd, jnp.mean(accs)
+
+
+def maybe_mode_swap(fg: CompiledFG, cfg, key: Array, xc: Array,
+                    xd: Array):
+    """The transition-level entry: apply the sweep with probability
+    ``1/cfg.mode_swap_every`` (a random-scan mixture kernel — exactness
+    is unaffected, and ``lax.cond`` skips the two logit passes on gated
+    transitions, amortizing the move's cost; a stuck chain accepts the
+    uphill swap on its first proposal, so once every few transitions is
+    plenty). Returns ``(xd, accept_mean, n_applied)`` — the accumulator
+    increments only when the move ran, so ``diag["mode_swap_accept"]``
+    stays a true per-application acceptance."""
+    every = max(1, int(getattr(cfg, "mode_swap_every", 1)))
+    k_gate, k_ms = jax.random.split(key)
+    if every == 1:
+        xd, acc = mode_swap_sweep(fg, k_ms, xc, xd, fg.mode_swap_plan)
+        return xd, acc, jnp.ones(())
+    gate = jax.random.uniform(k_gate, ()) * every < 1.0
+    return jax.lax.cond(
+        gate,
+        lambda xd: (*mode_swap_sweep(fg, k_ms, xc, xd, fg.mode_swap_plan),
+                    jnp.ones(())),
+        lambda xd: (xd, jnp.zeros(()), jnp.zeros(())),
+        xd,
+    )

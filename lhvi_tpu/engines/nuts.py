@@ -65,6 +65,7 @@ class NUTSConfig:
     # orbit-level mode-swap MH move after the Gibbs stage (see
     # HMCConfig.mode_swap / engines/modeswap.py)
     mode_swap: bool = struct.field(pytree_node=False, default=False)
+    mode_swap_every: int = struct.field(pytree_node=False, default=1)
 
     def to_hmc(self) -> "_hmc.HMCConfig":
         """The HMCConfig sharing this config's warmup/Gibbs fields — the
@@ -79,6 +80,7 @@ class NUTSConfig:
             jitter=self.jitter,
             gibbs_unroll=self.gibbs_unroll,
             mode_swap=self.mode_swap,
+            mode_swap_every=self.mode_swap_every,
         )
 
 
@@ -385,12 +387,11 @@ def nuts_transition(fg: CompiledFG, cfg: NUTSConfig, state: "_hmc.HMCState",
     xd = (_hmc.sweep_all(fg, hcfg, k_g, state.xc, state.xd)
           if fg.n_disc else state.xd)
     if cfg.mode_swap and fg.mode_swap_plan is not None:
-        from lhvi_tpu.engines.modeswap import mode_swap_sweep
+        from lhvi_tpu.engines.modeswap import maybe_mode_swap
 
-        xd, ms_acc = mode_swap_sweep(fg, k_ms, state.xc, xd,
-                                     fg.mode_swap_plan)
+        xd, ms_acc, n_inc = maybe_mode_swap(fg, cfg, k_ms, state.xc, xd)
         state = state._replace(ms_acc_sum=state.ms_acc_sum + ms_acc,
-                               ms_acc_n=state.ms_acc_n + 1.0)
+                               ms_acc_n=state.ms_acc_n + n_inc)
     if fg.n_cont == 0:
         C = state.xc.shape[0]
         state = state._replace(xd=xd)

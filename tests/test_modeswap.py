@@ -44,9 +44,10 @@ def test_plan_structure():
     gvars = np.asarray(plan.vars_[0])
     assert sorted(gvars[gvars < fg.n_disc].tolist()) == [0, 1, 2, 3]
     # the clique's members are each other's neighbors, so F is empty and
-    # every real row stays in the direct term
+    # every real (G-touching) row stays in the direct term
     assert not np.asarray(plan.f_mask).any()
-    for w, bi in zip(plan.w_direct, fg.disc_bucket_idx):
+    assert plan.direct_buckets == fg.disc_bucket_idx
+    for w, bi in zip(plan.w_direct, plan.direct_buckets):
         np.testing.assert_array_equal(
             np.asarray(w[0]), np.asarray(fg.buckets[bi].scale)
         )
@@ -82,15 +83,20 @@ def test_plan_f_independence():
                             fg.n_disc)
             hits = fset[didx[real]].sum(axis=1)
             assert (hits <= 1).all(), "two F members share a factor row"
-        # and the F-touching rows are exactly the zeroed direct rows
-        for w, bi in zip(plan.w_direct, fg.disc_bucket_idx):
+        # direct rows carry weight iff they touch G, avoid F, and are
+        # real — anything else either lives in the F logits or cancels
+        # in the accept delta
+        gv = np.asarray(plan.vars_[gi])
+        gset = np.zeros(fg.n_disc + 1, bool)
+        gset[gv[gv < fg.n_disc]] = True
+        for w, bi in zip(plan.w_direct, plan.direct_buckets):
             np_b = fg.meta.np_buckets[bi]
             didx = np.where(np_b["disc_mask"] > 0, np_b["disc_idx"],
                             fg.n_disc)
-            touches = fset[didx].any(axis=1)
+            keep = gset[didx].any(axis=1) & ~fset[didx].any(axis=1)
             scale = np.asarray(fg.buckets[bi].scale)
             np.testing.assert_array_equal(
-                np.asarray(w[gi]), np.where(touches, 0.0, scale)
+                np.asarray(w[gi]), np.where(keep, scale, 0.0)
             )
 
 
@@ -136,6 +142,48 @@ def test_mode_swap_invariance_strong_lock():
     assert abs(p1 - p1_exact) < 0.05, (p1, p1_exact)
     # sanity: the two modes genuinely coexist in the exact answer
     assert 0.15 < p1_exact < 0.85
+
+
+def test_mode_swap_every_gate_exact():
+    """mode_swap_every=k applies the move with probability 1/k — a
+    random-scan mixture kernel that must stay exact and still unlock the
+    strongly locked clique (a stuck chain accepts its first proposal)."""
+    g, spins = spin_clique(n=4, w=6.0, bias=0.25)
+    exact = ExactPosterior(g)
+    fg = compile_graph(g)
+    res = hmc.sample(
+        fg,
+        jax.random.PRNGKey(11),
+        n_chains=64,
+        n_warmup=100,
+        n_samples=1500,
+        cfg=hmc.HMCConfig(mode_swap=True, mode_swap_every=3),
+    )
+    p1 = res.disc_marginal(spins[0])[1]
+    assert abs(p1 - exact.disc_marginal(spins[0])[1]) < 0.06
+    # the gate really thins applications: acceptance is still tracked
+    # per application, so it should resemble the every=1 rate
+    assert float(res.diag["mode_swap_accept"]) > 0.02
+
+
+def test_smc_mode_swap_matches_enumeration():
+    """The tempered variant: collapsed flips accepted against π^β during
+    the anneal must leave the final target unbiased on the locked
+    clique."""
+    from lhvi_tpu.engines import smc
+
+    g, spins = spin_clique(n=4, w=4.0, bias=0.3)
+    exact = ExactPosterior(g)
+    fg = compile_graph(g)
+    res = smc.sample(
+        fg, jax.random.PRNGKey(7),
+        smc.SMCConfig(n_particles=2048, n_temps=25, n_moves=2,
+                      mode_swap=True),
+    )
+    for s in spins:
+        np.testing.assert_allclose(
+            res.disc_marginal(s), exact.disc_marginal(s), atol=0.05
+        )
 
 
 def test_mode_swap_sharded_matches_unsharded():
