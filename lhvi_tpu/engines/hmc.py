@@ -62,7 +62,11 @@ class HMCConfig:
     # run_hmc/run_nuts build the orbit plan on demand when enabled.
     mode_swap: bool = struct.field(pytree_node=False, default=False)
     # apply the move with probability 1/every per transition (random-scan
-    # mixture — exact; amortizes the two logit passes, docs/PERF.md r5)
+    # mixture — exact; amortizes the two logit passes). CAUTION: the
+    # lax.cond gate crashes this environment's TPU worker at pod scale
+    # (≥~1e5 latents, measured 4/4 at 320 people while every=1 and
+    # smaller models run clean) — keep every=1 there; the move costs
+    # +20% end-to-end in the flagship production config (docs/PERF.md r5)
     mode_swap_every: int = struct.field(pytree_node=False, default=1)
 
 
