@@ -166,6 +166,52 @@ def test_mode_swap_every_gate_exact():
     assert float(res.diag["mode_swap_accept"]) > 0.02
 
 
+def test_nuts_mode_swap_matches_enumeration():
+    """The NUTS-within-Gibbs wiring of the move (NUTSConfig.mode_swap
+    routes through the same transition hook)."""
+    from lhvi_tpu.engines import nuts
+
+    g, spins = spin_clique(n=4, w=5.0, bias=0.3)
+    exact = ExactPosterior(g)
+    fg = compile_graph(g)
+    res = nuts.sample(
+        fg,
+        jax.random.PRNGKey(9),
+        n_chains=64,
+        n_warmup=100,
+        n_samples=1200,
+        cfg=nuts.NUTSConfig(mode_swap=True),
+    )
+    p1 = res.disc_marginal(spins[0])[1]
+    assert abs(p1 - exact.disc_marginal(spins[0])[1]) < 0.06
+    assert float(res.diag["mode_swap_accept"]) > 0.02
+
+
+def test_resume_bitwise_with_mode_swap(tmp_path):
+    """The ms_acc accumulators (fmt-4 payload) and the move's RNG stream
+    survive preemption: interrupted+resumed equals uninterrupted,
+    bitwise, with the move active."""
+    from lhvi_tpu.engines.resumable import sample_checkpointed
+
+    g, spins = spin_clique(n=4, w=3.0, bias=0.3)
+    fg = compile_graph(g)
+    key = jax.random.PRNGKey(13)
+    kw = dict(engine="hmc", cfg=hmc.HMCConfig(mode_swap=True),
+              n_chains=8, n_warmup=40, n_samples=120, chunk_size=60)
+
+    full = sample_checkpointed(fg, key, ckpt_dir=str(tmp_path / "f"), **kw)
+    out = sample_checkpointed(fg, key, ckpt_dir=str(tmp_path / "p"),
+                              _interrupt_after=0, **kw)
+    assert out is None
+    resumed = sample_checkpointed(fg, key, ckpt_dir=str(tmp_path / "p"),
+                                  **kw)
+    for k in ("mean", "var", "disc_probs"):
+        assert np.array_equal(full.moments[k], resumed.moments[k]), k
+    assert np.array_equal(full.diag["mode_swap_accept"],
+                          resumed.diag["mode_swap_accept"])
+    assert float(full.diag["mode_swap_accept"]) > 0.0
+
+
 def test_smc_mode_swap_matches_enumeration():
     """The tempered variant: collapsed flips accepted against π^β during
     the anneal must leave the final target unbiased on the locked
