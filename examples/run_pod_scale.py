@@ -53,8 +53,11 @@ def main():
                         help="apply the mode-swap move with probability "
                         "1/k per transition (random-scan mixture, still "
                         "exact) — amortizes its two conditional-logit "
-                        "passes; a locked chain accepts its first "
-                        "proposal, so k=4 barely delays unlocking")
+                        "passes. CAUTION: k>1 routes through a lax.cond "
+                        "that crashes this environment's TPU worker at "
+                        "pod scale (measured 4/4 at 320 people — "
+                        "docs/PERF.md r5); keep 1 on large --n-people, "
+                        "where the move costs only +20%% end to end")
     parser.add_argument("--fast", action="store_true",
                         help="ground via the vectorized relational→IR "
                         "compiler (relational/fast.py) — no per-ground "

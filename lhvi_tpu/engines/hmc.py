@@ -893,6 +893,9 @@ def _run_hmc(
     state = init_hmc_state(fg, k_init, cfg, n_chains, shard)
     trans = lambda s, k, adapt: hmc_transition(fg, cfg, s, k, adapt)
     state = run_warmup(fg, cfg, state, k_warm, n_warmup, trans)
+    # mode-swap acceptance is reported for the SAMPLING window only (like
+    # accept_rate): drop the warmup-phase accumulation
+    state = state._replace(ms_acc_sum=jnp.zeros(()), ms_acc_n=jnp.zeros(()))
 
     def sample_step(state: HMCState, key):
         # thin streams INSIDE the scan step: only every thin-th state is

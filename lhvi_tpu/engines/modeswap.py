@@ -86,6 +86,10 @@ class ModeSwapPlan:
     n_groups: int = struct.field(pytree_node=False)
     n_vars: int = struct.field(pytree_node=False)  # padded group width
     direct_buckets: Tuple = struct.field(pytree_node=False, default=())
+    # static: any group has a non-empty F? Self-contained cliques (all
+    # neighbors inside the group) collapse nothing — the sweep then skips
+    # both full conditional-logit passes, its dominant cost
+    has_f: bool = struct.field(pytree_node=False, default=True)
     vars_: Array = None  # i32 [G, M] (pad = n_disc)
     vmax: Array = None  # i32 [G]
     f_mask: Array = None  # bool [G, n_disc]
@@ -257,6 +261,7 @@ def build_mode_swap_plan(
         n_groups=G,
         n_vars=m,
         direct_buckets=tuple(direct_buckets),
+        has_f=bool(f_mask.any()),
         vars_=jnp.asarray(vars_),
         vmax=jnp.asarray(vmax),
         f_mask=jnp.asarray(f_mask),
@@ -324,30 +329,42 @@ def mode_swap_sweep(
     def body(xd, inp):
         k, gvars, v, fmask, wtabs = inp
         ka, kb, ku, kr = jax.random.split(k, 4)
-        # uniform unordered value pair {a, b}: involutive, state-
-        # independent proposal probability — symmetric
-        a = jax.random.randint(ka, (), 0, v)
-        b_ = (a + 1 + jax.random.randint(kb, (), 0, v - 1)) % v
+        # uniform unordered value pair {a, b} PER CHAIN: involutive,
+        # state-independent proposal probability — symmetric. Per-chain
+        # pairs keep chains independent draws of the kernel on V>2
+        # domains (a shared pair would positively correlate chains and
+        # bias split-R̂'s between-chain variance low); on binary domains
+        # every chain's pair is {0, 1} regardless
+        a = jax.random.randint(ka, (C,), 0, v)
+        b_ = (a + 1 + jax.random.randint(kb, (C,), 0, v - 1)) % v
         member = (
             jnp.zeros(fg.n_disc + 1, bool).at[gvars].set(True)[: fg.n_disc]
         )
-        swapped = jnp.where(xd == a, b_, jnp.where(xd == b_, a, xd))
+        a_, bb = a[:, None], b_[:, None]
+        swapped = jnp.where(xd == a_, bb, jnp.where(xd == bb, a_, xd))
         xd_p = jnp.where(member[None], swapped, xd)
 
-        L = temper(jax.vmap(logits_fn)(xc, xd))  # [C, n_disc, V]
-        Lp = temper(jax.vmap(logits_fn)(xc, xd_p))
-        lse = jax.scipy.special.logsumexp
-        S = jnp.sum(fmask[None] * lse(L, axis=-1), axis=-1)  # [C]
-        Sp = jnp.sum(fmask[None] * lse(Lp, axis=-1), axis=-1)
+        if plan.has_f:
+            L = temper(jax.vmap(logits_fn)(xc, xd))  # [C, n_disc, V]
+            Lp = temper(jax.vmap(logits_fn)(xc, xd_p))
+            lse = jax.scipy.special.logsumexp
+            S = jnp.sum(fmask[None] * lse(L, axis=-1), axis=-1)  # [C]
+            Sp = jnp.sum(fmask[None] * lse(Lp, axis=-1), axis=-1)
+        else:
+            # self-contained groups collapse nothing — skip the two
+            # full-conditional passes (the move's dominant cost)
+            S = Sp = jnp.zeros((C,))
         d0 = _direct_lp(fg, xc, xd, wtabs, plan.direct_buckets)
         d1 = _direct_lp(fg, xc, xd_p, wtabs, plan.direct_buckets)
         delta = (Sp - S) + beta * (d1 - d0)
         acc = jnp.log(jax.random.uniform(ku, (C,))) < delta
-        # accepted chains: G flipped, F redrawn from the flipped-state
-        # conditionals (the proposal the ratio above collapsed over)
-        f_new = jax.random.categorical(kr, Lp, axis=-1).astype(jnp.int32)
         xd_out = jnp.where(acc[:, None] & member[None], xd_p, xd)
-        xd_out = jnp.where(acc[:, None] & fmask[None], f_new, xd_out)
+        if plan.has_f:
+            # accepted chains: F redrawn from the flipped-state
+            # conditionals (the proposal the ratio above collapsed over)
+            f_new = jax.random.categorical(kr, Lp, axis=-1).astype(
+                jnp.int32)
+            xd_out = jnp.where(acc[:, None] & fmask[None], f_new, xd_out)
         return xd_out, jnp.mean(acc.astype(jnp.float32))
 
     keys = jax.random.split(key, plan.n_groups)

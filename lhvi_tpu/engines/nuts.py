@@ -472,6 +472,10 @@ def _run_nuts(
             *transition(s, k, adapt)
         ),
     )
+    # mode-swap acceptance is reported for the SAMPLING window only (like
+    # accept_rate): drop the warmup-phase accumulation
+    state = state._replace(ms_acc_sum=jnp.zeros(()),
+                           ms_acc_n=jnp.zeros(()))
 
     def sample_step(state, key):
         def inner(t, carry):

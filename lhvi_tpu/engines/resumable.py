@@ -195,7 +195,7 @@ def sample_checkpointed(
             jnp.zeros(()),
             # streamed split-R̂/ESS accumulators (9 × [C, n_cont] incl.
             # the batch-means block, then 4 × [C, n_sel] for the
-            # discrete-value stream — the fmt-3 layout) ride the same
+            # discrete-value stream — the fmt-3 part of the layout) ride the
             # checkpoint payload, so convergence evidence survives
             # preemption too
             *_hmc._stream_diag_init(n_chains, fg.n_cont),
@@ -299,7 +299,12 @@ def sample_checkpointed(
             )
         if warmup_done == n_warmup:
             state = _hmc._mass_refresh(fg, hcfg, state)
-            state = state._replace(log_eps=state.log_eps_bar)
+            # sampling-window-only mode-swap acceptance, same rule as
+            # run_hmc/run_nuts (this branch runs exactly once per job,
+            # also on a resume-from-mid-warmup — bitwise property holds)
+            state = state._replace(log_eps=state.log_eps_bar,
+                                   ms_acc_sum=jnp.zeros(()),
+                                   ms_acc_n=jnp.zeros(()))
         mgr.save(next_step,
                  _payload_to_host(state, sums, 0, n_chains, warmup_done),
                  wait=True)

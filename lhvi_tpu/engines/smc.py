@@ -393,8 +393,12 @@ def run_smc(fg: CompiledFG, key: Array, cfg: SMCConfig = SMCConfig(),
                 if cfg.mode_swap and fg.mode_swap_plan is not None:
                     from lhvi_tpu.engines.modeswap import mode_swap_sweep
 
+                    # fold_in(kg, i) is bit-identical to split(kg, N)[i]
+                    # (threefry) — fold at N, PAST the per-particle Gibbs
+                    # keys, so the move's variates never reuse a stream
+                    # that just updated a particle's state
                     xd, _ = mode_swap_sweep(
-                        fg, jax.random.fold_in(kg, 1), xc, xd,
+                        fg, jax.random.fold_in(kg, N), xc, xd,
                         fg.mode_swap_plan, beta=beta,
                     )
             return (xc, xd), jnp.mean(acc.astype(jnp.float32))

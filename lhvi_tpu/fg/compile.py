@@ -419,22 +419,11 @@ class CompiledFG:
 
     @property
     def disc_bucket_idx(self) -> Tuple[int, ...]:
-        """Surviving buckets whose kernels actually read ``xd``."""
+        """Surviving buckets whose kernels actually read ``xd`` — the
+        candidate set the mode-swap plan's direct term is built from
+        (``engines/modeswap.py``; quadratic-fused and continuous-only
+        buckets are constant in ``xd`` and cancel in its MH ratios)."""
         return tuple(i for i in self.lp_bucket_idx if self.buckets[i].ad > 0)
-
-    def log_prob_disc_batched(self, xc: Array, xd: Array) -> Array:
-        """``[C]`` discrete-state-dependent part of ``log_prob``.
-
-        Dual of :meth:`log_prob_cont_batched`: sums only the buckets that
-        reference ``xd`` (fused quadratic and continuous-only buckets are
-        constant in ``xd``). Exact for discrete-update MH ratios at fixed
-        ``xc`` — the mode-swap move's accept computation
-        (``engines/modeswap.py``) skips the continuous factor load.
-        """
-        total = jnp.zeros((xd.shape[0],), jnp.float32)
-        for i in self.disc_bucket_idx:
-            total = total + self._bucket_logp_batched(i, xc, xd)
-        return total
 
     def disc_logits(self, xc: Array, xd: Array) -> Array:
         """Per-variable full-conditional logits for discrete latents.
